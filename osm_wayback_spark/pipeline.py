@@ -1,0 +1,51 @@
+"""End-to-end composition of the reference's 5-stage pipeline
+(run.sh:18-65) as lazily-composed DataFrame stages:
+
+pages → extract (Arrow kernel) → versions
+      → features (latest per entity) / node_locations (window dedup)
+      → add_history (join + tag diff + nest)      ≙ add_history.cpp
+      → add_node_locations (explode/join/re-nest)  ≙ add_geometry.cpp
+      → reconstruct (Arrow kernel)                 ≙ index.js stage 4
+      → assign_tiles (column math)                 ≙ tippecanoe z15
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .operators.history import add_history
+from .operators.locations import add_node_locations
+from .operators.reconstruction import reconstruct
+from .sources.extract import (
+    extract_versions,
+    features_from_versions,
+    node_locations_from_versions,
+)
+
+
+def build_tables(pages: DataFrame) -> dict[str, DataFrame]:
+    versions_ext = extract_versions(pages)
+    versions = versions_ext.drop("geometry_json")
+    return {
+        "versions": versions,
+        "features": features_from_versions(versions_ext),
+        "node_locations": node_locations_from_versions(versions),
+    }
+
+
+def history_pipeline(pages: DataFrame) -> DataFrame:
+    """pages → features with @history (≙ .history geojsonseq)."""
+    t = build_tables(pages)
+    return add_history(t["features"], t["versions"])
+
+
+def geometry_pipeline(pages: DataFrame) -> DataFrame:
+    """pages → features with @history + nodeLocations (≙ .history.geometries)."""
+    t = build_tables(pages)
+    hist = add_history(t["features"], t["versions"])
+    return add_node_locations(hist, t["node_locations"])
+
+
+def reconstruction_pipeline(pages: DataFrame) -> DataFrame:
+    """pages → per-version features (≙ stage-4 WRITE_EVERY_GEOMETRY)."""
+    return reconstruct(geometry_pipeline(pages))

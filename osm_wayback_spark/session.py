@@ -1,0 +1,86 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Replaces the reference's hand-tuned RocksDB knobs (db.hpp:96-111 —
+bulk-load mode, WAL off, bloom filters, write batching) with the
+Spark-side equivalents: AQE (runtime coalesce + skew-join splitting),
+Arrow batch sizing for the two Python kernels, and a shuffle
+partition count sized to the local core count but overridable for a
+real cluster via env / builder args.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the sandbox (local[N], 128 GiB single JVM) but
+# expressed so the same code is correct on a 1000-executor cluster:
+# AQE re-coalesces the static shuffle number at runtime, so a too-high
+# static value costs little; a too-low one can't be split except by
+# the skew-join rule.
+_DEFAULTS = {
+    # Runtime re-planning: partition coalescing, skew-join splitting,
+    # broadcast-join demotion/promotion based on runtime stats.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Hot urls (many versions of one page / one OSM id) and hot tiles
+    # are the two skew sources (SURVEY.md §7.4); lower the factor so
+    # moderately skewed partitions are split too.
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64m",
+    # Arrow ferries for the two Python kernels (extraction,
+    # reconstruction). 4.x enables arrow for pandas UDFs by default;
+    # cap the batch so wide html payloads don't blow executor memory.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    # Parquet scans: keep splits small enough that a 100 TB input
+    # yields units of work far smaller than executor memory.
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Timestamps in the synthetic data are naive; keep them stable.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "osm_wayback_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox;
+    on a real cluster pass ``None`` and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+        ) or None
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    else:
+        ncores = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+        n = 32 if ncores == "*" else int(ncores) if ncores.isdigit() else 32
+        builder = builder.config("spark.sql.shuffle.partitions", str(max(n, 8)))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,157 @@
+"""Stage-0 extraction kernel: pages → versions / features / text.
+
+Plays the role of the reference's libosmium parse + osmium export
+(build_lookup_index.cpp:101-103, run.sh:18-20): the one genuinely new
+operator of the graft. A vectorized pandas UDF over ``mapInPandas``
+(Arrow-batched — no per-row Python dispatch from the JVM) that
+
+1. extracts canonical visible text from ``html`` — the per-row
+   invariant is that ``extract_text(html) == text`` **byte-identically
+   per url** (BASELINE.json input_hint), and
+2. parses the page-embedded geometry payload (the
+   ``application/osm+json`` island) into a typed ``versions`` row.
+
+Everything downstream of this kernel is relational (DataFrame ops).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import json
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import VERSIONS
+
+_P_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+_ISLAND_RE = re.compile(
+    r'<script type="application/osm\+json">(.*?)</script>', re.DOTALL
+)
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Canonical text extraction: all <p> bodies, unescaped, joined
+    by newline. Must be byte-identical to the ``text`` column."""
+    doc = html_bytes.decode("utf-8", errors="replace")
+    return "\n".join(_html.unescape(m) for m in _P_RE.findall(doc))
+
+
+def extract_island(html_bytes: bytes) -> dict | None:
+    doc = html_bytes.decode("utf-8", errors="replace")
+    m = _ISLAND_RE.search(doc)
+    if not m:
+        return None
+    try:
+        return json.loads(m.group(1))
+    except json.JSONDecodeError:
+        return None
+
+
+_VERSIONS_OUT_COLS = [f.name for f in VERSIONS.fields] + ["geometry_json"]
+# StructType.add mutates in place — build the extended schema once,
+# from a copy.
+_VERSIONS_EXT = T.StructType(
+    list(VERSIONS.fields) + [T.StructField("geometry_json", T.StringType())]
+)
+
+
+def extract_versions(pages: DataFrame) -> DataFrame:
+    """pages → versions (+ geometry_json carried on the row that
+    embeds the current geometry). One Arrow pass; narrow (no shuffle).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for html_bytes in pdf["html"]:
+                isl = extract_island(html_bytes)
+                if isl is None:
+                    continue
+                geom = isl.get("geometry")
+                rows.append(
+                    {
+                        "element_type": isl["element_type"],
+                        "id": int(isl["id"]),
+                        "version": int(isl["version"]),
+                        "ts": int(isl["ts"]),
+                        "changeset": isl.get("changeset"),
+                        "uid": isl.get("uid"),
+                        "user": isl.get("user"),
+                        "visible": isl.get("visible"),
+                        "deleted": isl.get("deleted"),
+                        "tags": isl.get("tags") or {},
+                        "lonlat": isl.get("lonlat"),
+                        "node_refs": isl.get("node_refs"),
+                        "geometry_json": json.dumps(geom, separators=(",", ":"))
+                        if geom is not None
+                        else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=_VERSIONS_OUT_COLS)
+
+    return pages.mapInPandas(kernel, schema=_VERSIONS_EXT)
+
+
+def verify_text_invariant(pages: DataFrame) -> DataFrame:
+    """Rows where extraction is NOT byte-identical (must be empty)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bad = pdf[
+                [extract_text(h) != t for h, t in zip(pdf["html"], pdf["text"])]
+            ]
+            yield bad[["url", "text"]]
+
+    return pages.mapInPandas(kernel, schema="url string, text string")
+
+
+def features_from_versions(versions_ext: DataFrame) -> DataFrame:
+    """Latest version per entity → the current-feature stream
+    (≙ osmium time-filter + export, run.sh:18-20; SURVEY.md S2/S3).
+
+    Single shuffle on (element_type, id) via max_by-style window.
+    """
+    w = Window.partitionBy("element_type", "id").orderBy(F.desc("version"))
+    return (
+        versions_ext.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & F.col("geometry_json").isNotNull())
+        .select(
+            "element_type",
+            "id",
+            "version",
+            "changeset",
+            "ts",
+            "uid",
+            "user",
+            F.col("geometry_json").alias("geometry"),
+            "tags",
+        )
+    )
+
+
+def node_locations_from_versions(versions: DataFrame) -> DataFrame:
+    """≙ the `locations` CF build (db.hpp:225-258): per (node_id,
+    changeset) keep the max-version record (json_encoding.hpp:51-57 —
+    two versions in one changeset lose the earlier one). The
+    read-modify-write upsert becomes a window dedup.
+    """
+    w = Window.partitionBy("id", "changeset").orderBy(F.desc("version"))
+    return (
+        versions.filter(F.col("element_type") == "node")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id").alias("node_id"),
+            "changeset",
+            "version",
+            "ts",
+            "uid",
+            "user",
+            "lonlat",
+        )
+    )
