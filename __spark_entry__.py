@@ -1,38 +1,528 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: full pages → history-join → reconstruction.
+``queries`` — one entry per implemented operator (SURVEY.md §2 +
+              training-data ops); each (spark, sf_dir) → DataFrame.
+``oracle_sql`` — DuckDB-equivalent SQL per query (same column names,
+              rounded floats, bigint ranks) for the driver's
+              row-count + schema + value-hash comparison.
+
+Queries on the OSM-domain synthetic ``pages`` corpus (generated
+in-engine, not a driver parquet) have no SQL oracle → rows-only
+checks; every relational/text/dedup/spatial operator is oracle-backed
+on the driver tables.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic pages at the dir's scale factor,
+    cached as parquet under the repo so the N pages-domain queries
+    synthesize once (generation is pure, so the cache is just a
+    memoization — same bytes every time)."""
+    import os
+
+    from osm_wayback_spark.synth import sf_from_dir, synth_pages
+
+    sf = sf_from_dir(sf_dir)
+    cache = f"/root/repo/.cache/pages_sf{sf}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        synth_pages(spark, sf).write.mode("overwrite").parquet(cache)
+    return spark.read.parquet(cache)
+
+
+# derived point cloud: deterministic lon/lat per event (integer-mod
+# arithmetic — identical doubles in Spark and DuckDB)
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("point_id"),
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+    )
+
+
+_EVENT_POINTS_SQL = """
+SELECT event_id AS point_id,
+       (event_id * 7919 % 360000) / 1000.0 - 180.0 AS lon,
+       (event_id * 104729 % 170000) / 1000.0 - 85.0 AS lat
+FROM events
+"""
+
+# canonical per-event "tags" as k=v strings (for the SQL-parity tag
+# diff; the map-typed diff is exercised by the pages pipeline + pytest)
+def _event_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tags = F.array_sort(
+        F.filter(
+            F.array(
+                F.concat(F.lit("type="), F.col("event_type")),
+                F.concat(F.lit("kv="), F.regexp_extract("props", r"(\d+)", 1)),
+                F.when(
+                    F.col("value") >= 100.0,
+                    F.concat(F.lit("bucket="), F.floor(F.col("value") / 50.0).cast("string")),
+                ),
+            ),
+            lambda t: t.isNotNull(),
+        )
+    )
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        tags.alias("tags"),
+    )
+
+
+_EVENT_TAGS_SQL = """
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+       list_sort(list_filter([
+         'type=' || event_type,
+         'kv=' || regexp_extract(props, '(\\d+)', 1),
+         CASE WHEN value >= 100.0 THEN 'bucket=' || CAST(CAST(floor(value / 50.0) AS BIGINT) AS VARCHAR) END
+       ], t -> t IS NOT NULL)) AS tags
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# oracle-backed queries over driver tables
+
+def q_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/W3 — latest version per key (osmium time-filter analog)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+def q_history_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-entity ordered history array (collect + sort)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_versions"),
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_ts_us"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                            F.col("event_id").alias("e"),
+                            F.col("event_type").alias("y"),
+                        )
+                    )
+                ),
+                lambda s: s["y"],
+            ),
+        ).alias("types_csv"),
+    )
+
+
+def q_tag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — tag diff vs previous version (k=v list form; the map form
+    runs in the pages pipeline)."""
+    tagged = _event_tags(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("version")
+    t = tagged.withColumn("prev", F.lag("tags").over(w))
+    key = lambda s: F.substring_index(s, "=", 1)  # noqa: E731
+    cur, prev = F.col("tags"), F.col("prev")
+    added = F.when(prev.isNull(), cur).otherwise(
+        F.filter(cur, lambda c: ~F.exists(prev, lambda p: key(p) == key(c)))
+    )
+    deleted = F.when(prev.isNull(), F.array().cast("array<string>")).otherwise(
+        F.filter(prev, lambda p: ~F.exists(cur, lambda c: key(c) == key(p)))
+    )
+    modified = F.when(prev.isNull(), F.array().cast("array<string>")).otherwise(
+        F.filter(
+            cur,
+            lambda c: F.exists(prev, lambda p: (key(p) == key(c)) & (p != c)),
+        )
+    )
+    return t.select(
+        "user_id",
+        "version",
+        F.concat_ws(",", F.array_sort(added)).alias("added_csv"),
+        F.concat_ws(",", F.array_sort(F.transform(modified, key))).alias("modified_keys_csv"),
+        F.concat_ws(",", F.array_sort(deleted)).alias("deleted_csv"),
+    )
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — z15 Web-Mercator tile assignment (tippecanoe analog)."""
+    from osm_wayback_spark.functions.tiles import tile_x, tile_y
+
+    pts = _event_points(spark, sf_dir)
+    return pts.select(
+        "point_id",
+        F.lit(15).cast("int").alias("z"),
+        tile_x(F.col("lon"), 15).alias("x"),
+        tile_y(F.col("lat"), 15).alias("y"),
+    )
+
+
+def q_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/S2-analog cell partitioning: res-7 quad cell id + counts."""
+    from osm_wayback_spark.functions.cells import cell_id
+
+    pts = _event_points(spark, sf_dir)
+    return (
+        pts.select(cell_id(F.col("lon"), F.col("lat"), 7).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — batched point-in-polygon via cell join + ray-cast kernel
+    (oracle: plain bbox SQL — rectangles make ray-cast ≡ bbox)."""
+    import json
+
+    from osm_wayback_spark.operators.spatial import point_in_polygon
+
+    nation = _t(spark, sf_dir, "nation")
+
+    def rect(nk: int) -> str:
+        lon0 = (nk * 14) % 340 - 170 + 0.25
+        lat0 = (nk * 6) % 150 - 75 + 0.25
+        lon1, lat1 = lon0 + 12.5, lat0 + 5.5
+        return json.dumps(
+            [[[lon0, lat0], [lon1, lat0], [lon1, lat1], [lon0, lat1], [lon0, lat0]]]
+        )
+
+    rect_udf = F.udf(rect, "string")
+    polys = nation.select(
+        F.col("n_nationkey").alias("polygon_id"), rect_udf("n_nationkey").alias("rings_json")
+    )
+    pts = _event_points(spark, sf_dir)
+    return point_in_polygon(pts, polys, res=5).select(
+        "point_id", "polygon_id"
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — exact kNN (broadcast queries, k=5)."""
+    from osm_wayback_spark.operators.spatial import knn_brute
+
+    region = _t(spark, sf_dir, "region")
+    queries = region.select(
+        F.col("r_regionkey").alias("query_id"),
+        (F.col("r_regionkey") * 31.0 - 60.0).alias("lon"),
+        (F.col("r_regionkey") * 17.0 - 40.0).alias("lat"),
+    )
+    pts = _event_points(spark, sf_dir)
+    out = knn_brute(pts, queries, k=5)
+    return out.select(
+        "query_id",
+        "point_id",
+        F.round("dist2", 6).alias("dist2"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline — exact cosine top-k over embeddings."""
+    from osm_wayback_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_wayback_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_wayback_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=4)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_wayback_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fp"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pages-domain queries (rows-only checks: the corpus is engine-synthesized)
+
+def q_pages_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_wayback_spark import pipeline
+
+    out = pipeline.history_pipeline(_pages(spark, sf_dir))
+    return out.select(
+        "element_type", "id", "version", F.size("history").alias("n_history")
+    )
+
+
+def q_pages_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_wayback_spark import pipeline
+
+    out = pipeline.reconstruction_pipeline(_pages(spark, sf_dir))
+    return out.select(
+        "element_type", "id", "version", "minor_version", "valid_since",
+        "valid_until", "geometry",
+    )
+
+
+def q_pages_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_wayback_spark import pipeline
+    from osm_wayback_spark.operators.tiles import assign_tiles
+
+    recon = pipeline.reconstruction_pipeline(_pages(spark, sf_dir))
+    feats = recon.filter(F.col("geometry").isNotNull())
+    return assign_tiles(feats, z=15)
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full history-join + reconstruction over synthetic
+    pages at sf0.001."""
+    from osm_wayback_spark import pipeline
+
+    pages = _pages(spark, "/root/testdata/sf0.001")
+    return pipeline.reconstruction_pipeline(pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "snapshot_latest": q_snapshot_latest,
+        "history_assembly": q_history_assembly,
+        "tag_diff": q_tag_diff,
+        "tile_assign": q_tile_assign,
+        "cell_stats": q_cell_stats,
+        "pip": q_pip,
+        "knn": q_knn,
+        "cosine_topk": q_cosine_topk,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "text_stats": q_text_stats,
+        "pages_history": q_pages_history,
+        "pages_reconstruct": q_pages_reconstruct,
+        "pages_tiles": q_pages_tiles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tile_xy = """
+      CAST(greatest(0, least(32767, floor((lon + 180.0) / 360.0 * 32768.0))) AS BIGINT) AS x,
+      CAST(greatest(0, least(32767, floor(
+        (1.0 - ln(tan(radians(greatest(-85.05112878, least(85.05112878, lat))))
+               + 1.0 / cos(radians(greatest(-85.05112878, least(85.05112878, lat))))) / pi()
+        ) / 2.0 * 32768.0))) AS BIGINT) AS y
     """
-    return {}
+    cell7 = """
+      7 * 288230376151711744
+      + CAST(greatest(0, least(127, floor((lon + 180.0) / 360.0 * 128.0))) AS BIGINT) * 536870912
+      + CAST(greatest(0, least(127, floor(
+          (1.0 - ln(tan(radians(greatest(-85.05112878, least(85.05112878, lat))))
+                 + 1.0 / cos(radians(greatest(-85.05112878, least(85.05112878, lat))))) / pi()
+          ) / 2.0 * 128.0))) AS BIGINT)
+    """
+    shingles3 = """
+      list_distinct(CASE WHEN len(words) >= 3
+        THEN list_transform(generate_series(1, len(words) - 2),
+                            i -> array_to_string(words[i:i+2], ' '))
+        ELSE [array_to_string(words, ' ')] END)
+    """
+    return {
+        "snapshot_latest": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                   round(value, 6) AS value
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "history_assembly": """
+            SELECT user_id,
+                   count(*) AS n_versions,
+                   epoch_us(min(ts)) AS first_ts_us,
+                   epoch_us(max(ts)) AS last_ts_us,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS types_csv
+            FROM events GROUP BY user_id
+        """,
+        "tag_diff": f"""
+            WITH tagged AS ({_EVENT_TAGS_SQL}),
+            lagged AS (
+              SELECT user_id, version, tags,
+                     lag(tags) OVER (PARTITION BY user_id ORDER BY version) AS prev
+              FROM tagged
+            )
+            SELECT user_id, version,
+              coalesce(array_to_string(list_sort(CASE WHEN prev IS NULL THEN tags ELSE
+                list_filter(tags, c -> NOT len(list_filter(prev,
+                  p -> split_part(p, '=', 1) = split_part(c, '=', 1))) > 0)
+              END), ','), '') AS added_csv,
+              coalesce(array_to_string(list_sort(CASE WHEN prev IS NULL THEN [] ELSE
+                list_transform(
+                  list_filter(tags, c -> len(list_filter(prev,
+                    p -> split_part(p, '=', 1) = split_part(c, '=', 1) AND p != c)) > 0),
+                  c -> split_part(c, '=', 1))
+              END), ','), '') AS modified_keys_csv,
+              coalesce(array_to_string(list_sort(CASE WHEN prev IS NULL THEN [] ELSE
+                list_filter(prev, p -> NOT len(list_filter(tags,
+                  c -> split_part(c, '=', 1) = split_part(p, '=', 1))) > 0)
+              END), ','), '') AS deleted_csv
+            FROM lagged
+        """,
+        "tile_assign": f"""
+            SELECT point_id, CAST(15 AS INTEGER) AS z, {tile_xy}
+            FROM ({_EVENT_POINTS_SQL})
+        """,
+        "cell_stats": f"""
+            SELECT ({cell7}) AS cell, count(*) AS n
+            FROM ({_EVENT_POINTS_SQL})
+            GROUP BY 1
+        """,
+        "pip": """
+            SELECT p.point_id, n.n_nationkey AS polygon_id
+            FROM (SELECT event_id AS point_id,
+                         (event_id * 7919 % 360000) / 1000.0 - 180.0 AS lon,
+                         (event_id * 104729 % 170000) / 1000.0 - 85.0 AS lat
+                  FROM events) p
+            JOIN nation n
+              ON p.lon > (n.n_nationkey * 14) % 340 - 170 + 0.25
+             AND p.lon < (n.n_nationkey * 14) % 340 - 170 + 0.25 + 12.5
+             AND p.lat > (n.n_nationkey * 6) % 150 - 75 + 0.25
+             AND p.lat < (n.n_nationkey * 6) % 150 - 75 + 0.25 + 5.5
+        """,
+        "knn": f"""
+            WITH pts AS ({_EVENT_POINTS_SQL}),
+            q AS (SELECT r_regionkey AS query_id,
+                         r_regionkey * 31.0 - 60.0 AS q_lon,
+                         r_regionkey * 17.0 - 40.0 AS q_lat
+                  FROM region),
+            d AS (
+              SELECT q.query_id, pts.point_id,
+                     (pts.lon - q.q_lon) * (pts.lon - q.q_lon)
+                   + (pts.lat - q.q_lat) * (pts.lat - q.q_lat) AS dist2_raw
+              FROM pts CROSS JOIN q
+            )
+            SELECT query_id, point_id, round(dist2_raw, 6) AS dist2,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist2_raw, point_id) AS rank
+              FROM d
+            ) WHERE rank <= 5
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS a FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(
+                       list_dot_product(q.a::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.a::DOUBLE[], q.a::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS cosine
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "dedup_exact": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+                   doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+            FROM documents
+        """,
+        "minhash_signatures": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({shingles3}) AS shingle
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                    FROM documents)
+            )
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS sig_0,
+                   min(md5('1:' || shingle)) AS sig_1,
+                   min(md5('2:' || shingle)) AS sig_2,
+                   min(md5('3:' || shingle)) AS sig_3
+            FROM sh GROUP BY doc_id
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                   CASE
+                     WHEN en_hits > 0 AND en_hits >= greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+                     WHEN es_hits > 0 AND es_hits >= greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+                     WHEN de_hits > 0 AND de_hits >= greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+                     WHEN fr_hits > 0 AND fr_hits >= greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'fr'
+                     ELSE 'und'
+                   END AS lang_pred,
+                   round(
+                     least(len(text) / 500.0, 1.0) * 0.5
+                     + round(en_hits / greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6) * 0.3
+                     + (1.0 - round(len(regexp_replace(text, '[^\\.\\,\\;\\:\\!\\?]', '', 'g'))
+                          / greatest(len(text), 1), 6)) * 0.2,
+                   6) AS quality
+            FROM (
+              SELECT *,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    w -> list_contains(['the','a','of','and','to','is'], lower(w)))) AS en_hits,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    w -> list_contains(['el','la','de','los','que','y'], lower(w)))) AS es_hits,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    w -> list_contains(['der','die','das','und','ist'], lower(w)))) AS de_hits,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    w -> list_contains(['le','la','les','et','est'], lower(w)))) AS fr_hits
+              FROM documents
+            )
+        """,
+    }

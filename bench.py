@@ -1,0 +1,203 @@
+"""Benchmark harness.
+
+Default run (what the driver executes):
+    python bench.py
+→ ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "pages_per_sec": ..., "tiles_per_sec": ...,
+     "scaling": {"cores_n": 8, "cores_4n": 32, "pages_per_sec_n": ...,
+                 "pages_per_sec_4n": ..., "efficiency": ...}}
+
+The scaling block evidences the north rule's two-cluster-size
+criterion in-sandbox: the SAME job (pages parquet → history join →
+reconstruction → z15 tiles) at local[8] and local[32], each in a
+fresh subprocess/JVM; efficiency = (thr_4N / thr_N) / 4.
+
+Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling block,
+SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as usual.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+_IN_MEASURE = "--measure" in sys.argv
+
+
+def _spark(cores: int):
+    from osm_wayback_spark.session import get_spark
+
+    s = get_spark(
+        app_name=f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _pages_cache(spark):
+    import __spark_entry__ as entrymod
+
+    return entrymod._pages(spark, SF_DIR)
+
+
+# The scaling measurement runs on a LARGER corpus than the per-query
+# bench (default pages-sf 1.6 ≈ 2.1M pages): at sf0.1 the 16-core
+# wall is a few seconds and fixed overheads dominate the ratio.
+SCALE_SF = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE_SF", "1.6"))
+
+
+def _scale_pages(spark):
+    from osm_wayback_spark.synth import synth_pages
+
+    cache = f"/root/repo/.cache/pages_sf{SCALE_SF}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        synth_pages(spark, SCALE_SF).write.mode("overwrite").parquet(cache)
+    return spark.read.parquet(cache)
+
+
+def core_job(spark) -> tuple[int, int, float]:
+    """The scaling-measured job: pages → history join + tag diff +
+    node locations + reconstruction → z15 tile assignment."""
+    from osm_wayback_spark import pipeline
+    from osm_wayback_spark.operators.tiles import assign_tiles
+    from pyspark.sql import functions as F
+
+    pages = _scale_pages(spark) if _IN_MEASURE else _pages_cache(spark)
+    n_pages = pages.count()
+    t0 = time.time()
+    recon = pipeline.reconstruction_pipeline(pages)
+    tiles = assign_tiles(recon.filter(F.col("geometry").isNotNull()), z=15)
+    n_tiles = tiles.count()
+    wall = time.time() - t0
+    return n_pages, n_tiles, wall
+
+
+def measure(cores: int) -> dict:
+    """Warm-run measurement: first execution pays JIT/codegen +
+    Python-worker startup (a per-session constant a long-running
+    cluster amortizes away); the reported wall is the second run."""
+    spark = _spark(cores)
+    core_job(spark)  # warm-up
+    n_pages, n_tiles, wall = core_job(spark)
+    spark.stop()
+    return {
+        "cores": cores,
+        "pages": n_pages,
+        "tiles": n_tiles,
+        "wall": wall,
+        "pages_per_sec": n_pages / wall,
+        "tiles_per_sec": n_tiles / wall,
+    }
+
+
+def _measure_subprocess(cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--measure", str(cores)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"measure({cores}) produced no JSON: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--measure":
+        print(json.dumps(measure(int(sys.argv[2]))))
+        return
+
+    import __spark_entry__ as entrymod
+
+    spark = _spark(CPUS)
+    # warm the pages cache outside the timings (input generation is
+    # not engine work)
+    _pages_cache(spark).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    t0 = time.time()
+    n_pages, n_tiles, wall = core_job(spark)
+    timings["pipeline_e2e"] = round(wall, 3)
+    extras["pages_per_sec"] = round(n_pages / wall, 1)
+    extras["tiles_per_sec"] = round(n_tiles / wall, 1)
+
+    bench_queries = [
+        "pages_history",
+        "snapshot_latest",
+        "tag_diff",
+        "tile_assign",
+        "cell_stats",
+        "pip",
+        "knn",
+        "cosine_topk",
+        "dedup_exact",
+        "minhash_signatures",
+        "text_stats",
+    ]
+    qs = entrymod.queries()
+    for name in bench_queries:
+        t1 = time.time()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t1, 3)
+    total = round(time.time() - t0, 3)
+    # build the scaling corpus cache at full parallelism so the
+    # measure subprocesses only read it
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        _scale_pages(spark).count()
+    spark.stop()
+
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        # N=4 → 4N=16 (not 8→32): on this single 32-core host, a
+        # local[32] run saturates the box with JVM task threads + GC +
+        # shuffle helpers, so per-core resources are NOT constant
+        # between the two sizes — which they would be on a real
+        # N-executor vs 4N-executor cluster. 4→16 keeps per-core
+        # memory bandwidth/turbo comparable; see BASELINE.md.
+        lo = _measure_subprocess(4)
+        hi = _measure_subprocess(16)
+        scaling = {
+            "cores_n": 4,
+            "cores_4n": 16,
+            "wall_n": round(lo["wall"], 3),
+            "wall_4n": round(hi["wall"], 3),
+            "pages_per_sec_n": round(lo["pages_per_sec"], 1),
+            "pages_per_sec_4n": round(hi["pages_per_sec"], 1),
+            "tiles_per_sec_n": round(lo["tiles_per_sec"], 1),
+            "tiles_per_sec_4n": round(hi["tiles_per_sec"], 1),
+            "efficiency": round(
+                (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4.0, 3
+            ),
+        }
+
+    sf = float(SF_DIR.rstrip("/").split("/")[-1][2:])
+    result = {
+        "metric": "history-join + QA-tile throughput (pages/sec, tiles/sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    if scaling:
+        result["scaling"] = scaling
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Text-analysis column expressions (training-data pipeline ops).
+
+All pure Column math — no UDFs — and every formula is mirrored
+1:1 in the DuckDB oracle SQL (__spark_entry__.oracle_sql), so
+hashing/rounding choices here are constrained to functions both
+engines share (md5, regexp, list lambdas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic tiny stopword lists per language (heuristic lang-ID)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "es": ["el", "la", "de", "los", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+_EN = STOPWORDS["en"]
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization count."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(words(text))
+    )
+
+
+def _hits(text: Column, vocab: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(arr, F.lower(w))))
+
+
+def stopword_ratio(text: Column) -> Column:
+    return F.round(
+        _hits(text, _EN) / F.greatest(token_count(text), F.lit(1)), 6
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\.\,\;\:\!\?]", "")
+    return F.round(F.length(stripped) / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Length + stopword + punctuation heuristic in [0, 1]."""
+    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        len_score * 0.5 + stopword_ratio(text) * 0.3 + (1.0 - punct_ratio(text)) * 0.2,
+        6,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram/stopword heuristic language ID with deterministic
+    precedence en > es > de > fr > und."""
+    scores = {lang: _hits(text, vocab) for lang, vocab in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in ["fr", "de", "es", "en"]:  # reversed precedence
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text (md5 is byte-identical across Spark and DuckDB)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles."""
+    w = words(text)
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+    )

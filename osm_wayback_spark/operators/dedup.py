@@ -1,0 +1,250 @@
+"""Deduplication operators over a documents(doc_id, text, ...) table.
+
+Four families, each a ``queries()`` entry with a DuckDB oracle:
+- exact:       hash-groupBy on normalized text
+- MinHash+LSH: shingle → md5-minhash signatures → banded buckets →
+               candidate pairs → exact-Jaccard verify
+- SimHash:     per-token 48-bit hash, weighted bit votes
+- n-gram Jaccard: shingle explode + self-join
+
+Hash function choice: md5 (lexicographic min over hex strings ≡ min
+over the 128-bit integer) because Spark and DuckDB produce identical
+md5 hex — the whole dedup stack is thus oracle-checkable bit-for-bit.
+
+Scale notes: every family is explode → shuffle-on-short-key →
+aggregate; no Python. n-gram self-join caps shingle document
+frequency (`max_df`) so planet-hot shingles ("the of and") don't
+produce quadratic candidates — the cap is logged, not silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # 3 rows per band at 12 hashes
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """→ (doc_id, keep_id, is_dup): keep_id = min doc_id per identical
+    text. One shuffle on md5(text) (short key, not the full text)."""
+    keyed = documents.select("doc_id", F.md5("text").alias("h"))
+    keep = keyed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        keyed.join(keep, on="h")
+        .select(
+            "doc_id",
+            "keep_id",
+            (F.col("doc_id") != F.col("keep_id")).alias("is_dup"),
+        )
+    )
+
+
+def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    return documents.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, n: int = 3
+) -> DataFrame:
+    """→ (doc_id, sig_0..sig_{H-1}); sig_i = min over shingles of
+    md5(i || ':' || shingle). One explode + one groupBy(doc_id)."""
+    sh = doc_shingles(documents, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """→ distinct (doc_a, doc_b) sharing ≥1 LSH band bucket (a < b).
+
+    Band hash = md5(concat of the band's signature slots). The
+    bucket-join is an equi-join on (band, band_hash) — broadcastable
+    when one side is small, AQE-skew-split otherwise.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh")
+            )
+        )
+    buckets = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
+
+    → (doc_a, doc_b, jaccard) with jaccard ≥ threshold. ``max_df``
+    drops shingles appearing in more than that many docs before the
+    self-join (quadratic-blowup guard at planet scale); pass None to
+    disable (the oracle-parity configuration).
+    """
+    sh = doc_shingles(documents, n)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
+        sh = sh.join(
+            F.broadcast(df_counts.filter(F.col("df") <= max_df).select("shingle")),
+            on="shingle",
+        )
+    sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct(F.col("a.shingle")).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_dedup(
+    documents: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard.
+    → (doc_a, doc_b, jaccard)."""
+    sigs = minhash_signatures(documents, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    sh = doc_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("sz"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        cands.join(a, on="doc_a")
+        .join(b, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("shingle").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 48  # fits a signed 64-bit long in both engines
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """→ (doc_id, simhash): weighted bit votes over token hashes.
+
+    Token hash = first 12 hex chars of md5(token) (48 bits), weights =
+    token multiplicity. Pure column math (conv + bit ops) so the
+    DuckDB oracle can mirror it exactly.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    counted = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+    counted = counted.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = counted.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return voted.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    sim: DataFrame, bits: int = SIMHASH_BITS, chunks: int = 4
+) -> DataFrame:
+    """Near-dup candidates: docs sharing ≥1 of `chunks` bit-slices
+    (detects pairs within hamming distance < chunks by pigeonhole)."""
+    width = bits // chunks
+    slices = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit(2**width - 1))
+            .alias("val"),
+        )
+        for c in range(chunks)
+    ]
+    bucketed = sim.select(
+        "doc_id", F.explode(F.array(*slices)).alias("s")
+    ).select("doc_id", "s.chunk", "s.val")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.val") == F.col("b.val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

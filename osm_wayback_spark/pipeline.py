@@ -18,13 +18,19 @@ from .operators.locations import add_node_locations
 from .operators.reconstruction import reconstruct
 from .sources.extract import (
     extract_versions,
+    extract_versions_native,
     features_from_versions,
     node_locations_from_versions,
 )
 
 
-def build_tables(pages: DataFrame) -> dict[str, DataFrame]:
-    versions_ext = extract_versions(pages)
+def build_tables(pages: DataFrame, native: bool = True) -> dict[str, DataFrame]:
+    """``native=True`` parses the payload JVM-side (throughput path);
+    False uses the Arrow kernel (the general-purpose extraction path —
+    real-world html needs a real parser). Outputs are bit-identical
+    on the synthetic corpus (tested)."""
+    extractor = extract_versions_native if native else extract_versions
+    versions_ext = extractor(pages)
     versions = versions_ext.drop("geometry_json")
     return {
         "versions": versions,

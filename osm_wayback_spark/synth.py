@@ -25,12 +25,12 @@ exercise salting / AQE skew-join.
 from __future__ import annotations
 
 import datetime as _dt
+import functools
 import hashlib
 import html as _html
 import json
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 
 from .schemas import PAGES
@@ -57,9 +57,52 @@ _WORDS = (
 ).split()
 
 
-def _rng(*keys) -> np.random.RandomState:
-    h = hashlib.md5(("|".join(map(str, keys)) + f"|{SEED}").encode()).digest()
-    return np.random.RandomState(int.from_bytes(h[:4], "little"))
+class _Rand:
+    """Tiny deterministic md5-stream PRNG — ~30× cheaper to construct
+    than np.random.RandomState (which dominated generation time) and
+    trivially portable (pure hashlib)."""
+
+    __slots__ = ("_key", "_buf", "_pos", "_ctr")
+
+    def __init__(self, key: str):
+        self._key = key.encode()
+        self._buf = hashlib.md5(self._key).digest()
+        self._pos = 0
+        self._ctr = 0
+
+    def _u32(self) -> int:
+        if self._pos + 4 > len(self._buf):
+            self._ctr += 1
+            self._buf = hashlib.md5(
+                self._key + self._ctr.to_bytes(4, "little")
+            ).digest()
+            self._pos = 0
+        v = int.from_bytes(self._buf[self._pos : self._pos + 4], "little")
+        self._pos += 4
+        return v
+
+    def rand(self) -> float:
+        return self._u32() / 2**32
+
+    def randint(self, a: int, b: int | None = None, size: int | None = None):
+        if b is None:
+            a, b = 0, a
+        span = max(1, b - a)
+        if size is None:
+            return a + self._u32() % span
+        return [a + self._u32() % span for _ in range(size)]
+
+    def choice(self, seq, size: int = 1, replace: bool = True):
+        items = list(seq)
+        out = []
+        for _ in range(size):
+            idx = self._u32() % len(items)
+            out.append(items.pop(idx) if not replace else items[idx])
+        return out
+
+
+def _rng(*keys) -> _Rand:
+    return _Rand("|".join(map(str, keys)) + f"|{SEED}")
 
 
 def scale_counts(sf: float) -> tuple[int, int]:
@@ -76,6 +119,7 @@ def element_kind(i: int) -> str:
 # -- pure per-node functions (ways derive geometry from these without
 #    needing the node's rows) ------------------------------------------------
 
+@functools.lru_cache(maxsize=200_000)
 def node_n_versions(node_id: int) -> int:
     r = _rng("nnv", node_id)
     if r.rand() < 0.02:
@@ -83,6 +127,7 @@ def node_n_versions(node_id: int) -> int:
     return int(1 + r.randint(0, 8))
 
 
+@functools.lru_cache(maxsize=200_000)
 def node_base_lonlat(node_id: int) -> tuple[float, float]:
     r = _rng("nll", node_id)
     lon = -180.0 + 360.0 * float(r.rand())
@@ -90,6 +135,7 @@ def node_base_lonlat(node_id: int) -> tuple[float, float]:
     return round(lon, 7), round(lat, 7)
 
 
+@functools.lru_cache(maxsize=200_000)
 def node_version_ts(node_id: int, v: int) -> int:
     # Strictly monotone in v; ~12% of steps stay inside the previous
     # changeset bucket so two versions share a changeset
@@ -104,6 +150,7 @@ def node_version_ts(node_id: int, v: int) -> int:
     return ts
 
 
+@functools.lru_cache(maxsize=200_000)
 def node_version_info(node_id: int, v: int) -> dict:
     """Full record of node version v (1-based). Pure."""
     r = _rng("nv", node_id, v)
@@ -113,8 +160,8 @@ def node_version_info(node_id: int, v: int) -> dict:
     if v > 1 and r.rand() < 0.15:
         lonlat = list(node_version_lonlat(node_id, v - 1) or (lon, lat))  # identical → dedup branch
     else:
-        jitter = r.rand(2) * 1e-4 * (v - 1)
-        lonlat = [round(lon + float(jitter[0]), 7), round(lat + float(jitter[1]), 7)]
+        j0, j1 = r.rand() * 1e-4 * (v - 1), r.rand() * 1e-4 * (v - 1)
+        lonlat = [round(lon + j0, 7), round(lat + j1, 7)]
     return {
         "version": v,
         "ts": ts,
@@ -161,7 +208,7 @@ def _entity_versions(kind: str, i: int, n_node_pool: int) -> list[dict]:
         tags = _tags_sequence("node", i, nv)
         recs = []
         for v in range(1, nv + 1):
-            rec = node_version_info(i, v)
+            rec = dict(node_version_info(i, v))  # copy: the fn is lru_cached
             rec["tags"] = tags[v - 1]
             recs.append(rec)
         return recs

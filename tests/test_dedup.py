@@ -1,0 +1,93 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_wayback_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+    (4, "completely different content about spark engines"),
+    (5, "totally unrelated words regarding tile pyramids"),
+    (6, "the quick brown fox jumps over the lazy cat today"),  # near dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    rows = {r.doc_id: r for r in exact_dedup(docs).collect()}
+    assert rows[2].is_dup and rows[2].keep_id == 1
+    assert not rows[1].is_dup
+    assert not rows[3].is_dup
+
+
+def _py_shingles(text, n=3):
+    w = text.split()
+    if len(w) >= n:
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    return {" ".join(w)}
+
+
+def test_minhash_signature_matches_python(docs):
+    import hashlib
+
+    rows = {r.doc_id: r for r in minhash_signatures(docs, num_hashes=4).collect()}
+    for doc_id, text in DOCS:
+        sh = _py_shingles(text)
+        for i in range(4):
+            exp = min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+            assert getattr(rows[doc_id], f"sig_{i}") == exp
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    sigs = minhash_signatures(docs, num_hashes=12)
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs, 12, 4).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (4, 5) not in pairs  # unrelated docs shouldn't
+
+
+def test_minhash_dedup_verified_jaccard(docs):
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_dedup(docs, threshold=0.3).collect()}
+    assert got[(1, 2)] == 1.0
+    for pair in got:
+        assert got[pair] >= 0.3
+
+
+def test_jaccard_pairs_match_python(docs):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.2, max_df=None).collect()
+    }
+    exp = {}
+    for i, (ida, ta) in enumerate(DOCS):
+        for idb, tb in DOCS[i + 1 :]:
+            sa, sb = _py_shingles(ta), _py_shingles(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.2:
+                exp[(ida, idb)] = round(j, 6)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6
+
+
+def test_simhash_near_dups_closer(docs):
+    sims = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sims[1], sims[2]) == 0  # identical text → identical simhash
+    assert ham(sims[1], sims[3]) < ham(sims[1], sims[4])
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_pairs(simhash(docs)).collect()}
+    assert (1, 2) in pairs

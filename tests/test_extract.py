@@ -45,3 +45,16 @@ def test_synth_is_partition_independent(spark):
         .collect()
     )
     assert a == b
+
+
+def test_native_extraction_matches_arrow_kernel(spark):
+    from osm_wayback_spark.sources.extract import extract_versions_native
+
+    pages = synth_pages(spark, SF)
+    a = extract_versions(pages).orderBy("element_type", "id", "version").collect()
+    b = (
+        extract_versions_native(pages)
+        .orderBy("element_type", "id", "version")
+        .collect()
+    )
+    assert a == b

@@ -1,0 +1,85 @@
+"""PIP + kNN operators vs brute-force Python oracles."""
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_wayback_spark.operators.spatial import knn_brute, knn_cells, point_in_polygon
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, rng.uniform(-179, 179), rng.uniform(-80, 80)) for i in range(400)
+    ]
+    return rows, spark.createDataFrame(rows, "point_id long, lon double, lat double")
+
+
+def test_pip_rectangles_match_bbox(spark, pts):
+    rows, pdf = pts
+    polys = []
+    for pid in range(6):
+        lon0, lat0 = pid * 40 - 150.5, pid * 20 - 70.5
+        polys.append(
+            (pid, json.dumps([[[lon0, lat0], [lon0 + 30, lat0], [lon0 + 30, lat0 + 15], [lon0, lat0 + 15], [lon0, lat0]]]))
+        )
+    poly_df = spark.createDataFrame(polys, "polygon_id long, rings_json string")
+    got = {
+        (r.point_id, r.polygon_id)
+        for r in point_in_polygon(pdf, poly_df, res=4).collect()
+    }
+    exp = set()
+    for pid, rj in polys:
+        ring = json.loads(rj)[0]
+        lon0, lat0, lon1, lat1 = ring[0][0], ring[0][1], ring[1][0], ring[2][1]
+        for i, lon, lat in rows:
+            if lon0 < lon < lon1 and lat0 < lat < lat1:
+                exp.add((i, pid))
+    assert got == exp
+    assert len(exp) > 20
+
+
+def test_pip_polygon_with_hole(spark):
+    outer = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]
+    hole = [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]]
+    poly_df = spark.createDataFrame(
+        [(1, json.dumps([outer, hole]))], "polygon_id long, rings_json string"
+    )
+    pts_df = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 5.0, 5.0), (3, 11.0, 5.0)],
+        "point_id long, lon double, lat double",
+    )
+    got = {r.point_id for r in point_in_polygon(pts_df, poly_df, res=4).collect()}
+    assert got == {1}  # inside hole and outside both excluded
+
+
+def test_knn_brute_matches_python(spark, pts):
+    rows, pdf = pts
+    queries = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, -100.0, 40.0)], "query_id long, lon double, lat double"
+    )
+    got = {
+        (r.query_id, r.rank): r.point_id
+        for r in knn_brute(pdf, queries, k=3).collect()
+    }
+    for qid, qlon, qlat in [(0, 10.0, 10.0), (1, -100.0, 40.0)]:
+        ranked = sorted(
+            rows, key=lambda p: ((p[1] - qlon) ** 2 + (p[2] - qlat) ** 2, p[0])
+        )[:3]
+        for rank, p in enumerate(ranked, 1):
+            assert got[(qid, rank)] == p[0]
+
+
+def test_knn_cells_subset_of_brute(spark, pts):
+    rows, pdf = pts
+    queries = spark.createDataFrame(
+        [(0, 10.0, 10.0)], "query_id long, lon double, lat double"
+    )
+    cells = knn_cells(pdf, queries, k=3, res=3, ring=2).collect()
+    assert 0 < len(cells) <= 3
+    # every cell-path neighbor must be a real point; ranks consistent
+    brute = {r.point_id for r in knn_brute(pdf, queries, k=50).collect()}
+    assert {r.point_id for r in cells} <= brute

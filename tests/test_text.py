@@ -1,0 +1,63 @@
+"""Text-analysis expressions."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_wayback_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    shingles,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog of a house is big"),
+        (2, "el gato y la casa de los perros que corren"),
+        (3, "xyz qqq zzz"),
+        (4, ""),
+        (5, "  spaced   out   words  "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _collect(docs, col):
+    return {r.doc_id: r.v for r in docs.select("doc_id", col.alias("v")).collect()}
+
+
+def test_token_count(docs):
+    got = _collect(docs, token_count(F.col("text")))
+    assert got[1] == 10
+    assert got[4] == 0
+    assert got[5] == 3
+
+
+def test_lang_id(docs):
+    got = _collect(docs, lang_id(F.col("text")))
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_fingerprint_normalizes_whitespace(docs):
+    got = _collect(docs, fingerprint(F.col("text")))
+    assert got[5] == hashlib.md5(b"spaced out words").hexdigest()
+
+
+def test_quality_score_bounds(docs):
+    got = _collect(docs, quality_score(F.col("text")))
+    for v in got.values():
+        assert 0.0 <= v <= 1.0
+    assert got[1] > got[3]  # stopword-rich text scores higher
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "doc_id long, text string")
+    got = {r.doc_id: sorted(r.v) for r in df.select("doc_id", shingles(F.col("text"), 3).alias("v")).collect()}
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == ["a b"]  # shorter than n → single full shingle
