@@ -271,6 +271,67 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=4)
 
 
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (8 hashes × 4 bands of 2)."""
+    from osm_wayback_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=8)
+    return lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.2)."""
+    from osm_wayback_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, n=3, threshold=0.2, max_df=None)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document."""
+    from osm_wayback_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate nearest neighbors (rows-only: the
+    bucketing kernel is deliberately non-SQL)."""
+    from osm_wayback_spark.operators.similarity import ann_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = ann_lsh(emb, queries, k=5, n_planes=8)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-pruned kNN — the scale path (rows-only; approximate by
+    construction at ring=1)."""
+    from osm_wayback_spark.operators.spatial import knn_cells
+
+    region = _t(spark, sf_dir, "region")
+    queries = region.select(
+        F.col("r_regionkey").alias("query_id"),
+        (F.col("r_regionkey") * 31.0 - 60.0).alias("lon"),
+        (F.col("r_regionkey") * 17.0 - 40.0).alias("lat"),
+    )
+    pts = _event_points(spark, sf_dir)
+    out = knn_cells(pts, queries, k=5, res=4, ring=1)
+    return out.select(
+        "query_id",
+        "point_id",
+        F.round("dist2", 6).alias("dist2"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_wayback_spark.functions.text import (
         fingerprint,
@@ -343,6 +404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
+        "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,
         "pages_history": q_pages_history,
         "pages_reconstruct": q_pages_reconstruct,
@@ -492,6 +558,68 @@ def oracle_sql() -> dict[str, str]:
                    min(md5('2:' || shingle)) AS sig_2,
                    min(md5('3:' || shingle)) AS sig_3
             FROM sh GROUP BY doc_id
+        """,
+        "lsh_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({shingles3}) AS shingle
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                    FROM documents)
+            ),
+            sigs AS (
+              SELECT doc_id,
+                {', '.join(f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(8))}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              {' UNION ALL '.join(
+                  f"SELECT doc_id, {b} AS band, md5(sig_{2*b} || '|' || sig_{2*b+1}) AS bh FROM sigs"
+                  for b in range(4))}
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        """,
+        "jaccard_pairs": f"""
+            WITH sh AS (
+              SELECT DISTINCT doc_id, unnest({shingles3}) AS shingle
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                    FROM documents)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.2
+        """,
+        "simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, tok, count(*) AS cnt,
+                     ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok
+            ),
+            votes AS (
+              SELECT doc_id,
+                {', '.join(
+                    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{b}"
+                    for b in range(48))}
+              FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST({' + '.join(
+                       f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)"
+                       for b in range(48))} AS BIGINT) AS simhash
+            FROM votes
         """,
         "text_stats": """
             SELECT doc_id,

@@ -61,6 +61,59 @@ def history_records(versions: DataFrame) -> DataFrame:
     return diffed.select("element_type", "id", "version", rec.alias("rec"))
 
 
+def _version_sort(col):
+    return F.array_sort(
+        col,
+        lambda l, r: F.when(l["i"] < r["i"], F.lit(-1))
+        .when(l["i"] > r["i"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def add_history_salted(
+    features: DataFrame, versions: DataFrame, salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-hardened variant of add_history for pathological keys
+    (one id with millions of versions — the "hot url" case).
+
+    The JOIN side is already covered by AQE skew-join splitting; what
+    AQE cannot split is the final per-key ``collect_list`` (all rows
+    of a hot key land in one reducer). This two-phase aggregation
+    salts the collect on ``version % salt_buckets``: partial arrays
+    per (key, salt), then flatten + re-sort per key — the classic
+    partial/final combine, expressed relationally.
+    """
+    recs = history_records(versions)
+    f = features.alias("f")
+    v = recs.alias("v")
+    joined = f.join(
+        v,
+        on=[
+            F.col("f.element_type") == F.col("v.element_type"),
+            F.col("f.id") == F.col("v.id"),
+            F.col("v.version") <= F.col("f.version"),
+        ],
+        how="left",
+    )
+    feature_cols = list(features.columns)
+    passthrough = [c for c in feature_cols if c not in ("element_type", "id")]
+    phase1 = (
+        joined.withColumn(
+            "_salt", F.coalesce(F.col("v.version") % salt_buckets, F.lit(0))
+        )
+        .groupBy(F.col("f.element_type"), F.col("f.id"), F.col("_salt"))
+        .agg(
+            *[F.first(F.col(f"f.{c}")).alias(c) for c in passthrough],
+            F.collect_list(F.col("v.rec")).alias("_partial"),
+        )
+    )
+    phase2 = phase1.groupBy("element_type", "id").agg(
+        *[F.first(c).alias(c) for c in passthrough],
+        _version_sort(F.flatten(F.collect_list("_partial"))).alias("history"),
+    )
+    return phase2.select(*feature_cols, "history")
+
+
 def add_history(features: DataFrame, versions: DataFrame) -> DataFrame:
     """Attach the @history array to every feature.
 
@@ -93,12 +146,7 @@ def add_history(features: DataFrame, versions: DataFrame) -> DataFrame:
             # only the version field defines @history order anyway
             # (version-ascending, current last —
             # HISTORICAL_SCHEMA.md:64-73).
-            F.array_sort(
-                F.collect_list(F.col("v.rec")),
-                lambda l, r: F.when(l["i"] < r["i"], F.lit(-1))
-                .when(l["i"] > r["i"], F.lit(1))
-                .otherwise(F.lit(0)),
-            ).alias("history"),
+            _version_sort(F.collect_list(F.col("v.rec"))).alias("history"),
         )
     )
     return agg.select(*feature_cols, "history")

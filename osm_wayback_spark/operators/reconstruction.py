@@ -46,6 +46,7 @@ def _rows_for_feature(
     geometry_json: str | None,
     history_json: str | None,
     node_locations_json: str | None,
+    config: dict | None = None,
 ) -> list[dict]:
     geometry = json.loads(geometry_json) if geometry_json else None
     history = json.loads(history_json) if history_json else []
@@ -53,7 +54,7 @@ def _rows_for_feature(
         json.loads(node_locations_json) if node_locations_json else None
     )
     feats = reconstruct_feature(
-        element_type, osm_id, geometry, history, node_locations
+        element_type, osm_id, geometry, history, node_locations, config
     )
     rows = []
     for ft in feats:
@@ -66,8 +67,9 @@ def _rows_for_feature(
             {
                 "element_type": element_type,
                 "id": osm_id,
-                "version": int(props.get("@version")),
-                "minor_version": int(props.get("@minorVersion", 0)),
+                # GEOMETRY_ONLY mode strips identity props
+                "version": int(props.get("@version") or 0),
+                "minor_version": int(props.get("@minorVersion") or 0),
                 "valid_since": props.get("@validSince") or None,
                 # quirk: node/relation last version is false, way's is
                 # null — both map to SQL NULL here; feature_json keeps
@@ -91,13 +93,20 @@ def _rows_for_feature(
 
 
 def reconstruct(
-    with_locations: DataFrame, target_partitions: int | None = None
+    with_locations: DataFrame,
+    target_partitions: int | None = None,
+    config: dict | None = None,
 ) -> DataFrame:
     """add_history→add_node_locations output → per-version features.
 
     Input needs columns: element_type, id, geometry (GeoJSON string),
     history (array<HISTORY_RECORD>), node_locations (nested map,
     nullable).
+
+    ``config`` forwards the reference's D3 output-mode switches
+    (map-geom-reconstruction.js:30-45): GEOMETRY_ONLY,
+    INCLUDE_DIFFS_ON_MAJOR_VERSIONS,
+    INCLUDE_FULL_PROPERTIES_ON_{MAJOR,MINOR}_VERSIONS.
 
     The input is round-robin repartitioned before the kernel: the
     upstream agg output is small, so AQE coalesces it to few
@@ -127,7 +136,9 @@ def reconstruct(
                 pdf["history_json"],
                 pdf["node_locations_json"],
             ):
-                rows.extend(_rows_for_feature(et, int(oid), gj, hj, nlj))
+                rows.extend(
+                    _rows_for_feature(et, int(oid), gj, hj, nlj, config)
+                )
             yield pd.DataFrame(rows, columns=_OUT_COLS)
 
     return prepared.mapInPandas(kernel, schema=_OUT_SCHEMA)

@@ -55,3 +55,37 @@ def geometry_pipeline(pages: DataFrame) -> DataFrame:
 def reconstruction_pipeline(pages: DataFrame) -> DataFrame:
     """pages → per-version features (≙ stage-4 WRITE_EVERY_GEOMETRY)."""
     return reconstruct(geometry_pipeline(pages))
+
+
+def staged_pipeline(spark, pages: DataFrame, checkpoint_root: str) -> DataFrame:
+    """The production shape: each reference stage materialized as a
+    resumable checkpoint with per-partition lineage
+    (plans/lineage.py), mirroring run.sh's staged files
+    (README.md:52-62).
+
+    Crucially this also fixes the lazy DAG's one structural
+    inefficiency: `build_tables` branches (versions / features /
+    node_locations) each re-scan + re-extract the pages input — free
+    at test scale, 2-3 redundant full scans at 100 TB. Staging
+    `versions` once makes every downstream branch read the (much
+    smaller, columnar, (element_type, id)-sorted) table instead.
+    """
+    from .plans.lineage import run_stage
+
+    versions_ext = run_stage(
+        spark, checkpoint_root, "versions",
+        lambda: extract_versions_native(pages),
+    )
+    versions = versions_ext.drop("geometry_json")
+    geom = run_stage(
+        spark, checkpoint_root, "history_geom",
+        lambda: add_node_locations(
+            add_history(features_from_versions(versions_ext), versions),
+            node_locations_from_versions(versions),
+        ),
+    )
+    recon = run_stage(
+        spark, checkpoint_root, "versions_out",
+        lambda: reconstruct(geom),
+    )
+    return recon

@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) over the pure cores.
+
+Invariants from SURVEY.md §5:
+- folding the diffs of v1..vK reproduces the raw tag state of vK;
+- @history length == found-version count;
+- reconstruction validity intervals chain without overlap and cover
+  [t_1, ∞) for nodes.
+"""
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from osm_wayback_spark.operators._reconstruct_core import (
+    fold_tags,
+    reconstruct_feature,
+)
+
+# -- tag state machine --------------------------------------------------------
+
+_KEYS = ["a", "b", "c", "d"]
+_VALS = ["1", "2", "3"]
+
+tag_maps = st.dictionaries(st.sampled_from(_KEYS), st.sampled_from(_VALS), max_size=4)
+
+
+def _diff(prev: dict | None, cur: dict) -> dict:
+    """The reference's tag diff (add_history.cpp:118-204)."""
+    if prev is None:
+        return {"aA": dict(cur)}
+    if prev == cur:
+        return {}
+    out = {}
+    added = {k: v for k, v in cur.items() if k not in prev}
+    deleted = {k: v for k, v in prev.items() if k not in cur}
+    modified = {
+        k: [prev[k], cur[k]] for k in cur if k in prev and cur[k] != prev[k]
+    }
+    if added:
+        out["aA"] = added
+    if modified:
+        out["aM"] = modified
+    if deleted:
+        out["aD"] = deleted
+    return out
+
+
+@given(st.lists(tag_maps, min_size=1, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_fold_inverts_diff(states):
+    prev = None
+    folded: dict = {}
+    for cur in states:
+        folded = fold_tags(folded, _diff(prev, cur))
+        assert folded == cur  # fold(diffs v1..vk) == raw tags of vk
+        prev = cur
+
+
+# -- node reconstruction intervals --------------------------------------------
+
+ts_lists = st.lists(
+    st.integers(min_value=1, max_value=10**9), min_size=1, max_size=10, unique=True
+).map(sorted)
+
+
+@given(ts_lists)
+@settings(max_examples=200, deadline=None)
+def test_node_validity_chain(ts):
+    history = [
+        {"i": i + 1, "c": 10 + i, "t": t, "u": 1, "h": "u",
+         "p": [float(i), float(i)], "aA": {}}
+        for i, t in enumerate(ts)
+    ]
+    out = reconstruct_feature("node", 1, None, history, None)
+    assert len(out) == len(history)  # one feature per found version
+    props = [f["properties"] for f in out]
+    for a, b in zip(props, props[1:]):
+        assert a["@validUntil"] == b["@validSince"]  # contiguous chain
+    assert props[0]["@validSince"] == ts[0]
+    assert props[-1]["@validUntil"] is False  # node quirk
+
+
+@given(ts_lists, st.integers(min_value=0, max_value=5))
+@settings(max_examples=100, deadline=None)
+def test_way_major_until_is_next_t_minus_nothing(ts, extra):
+    # ways with a single static node: majors chain on raw next-t
+    locs = {"5": {"100": {"p": [0.0, 0.0], "t": 1, "i": 1, "u": 1, "h": "x"}}}
+    history = [
+        {"i": i + 1, "c": 200 + i, "t": t, "u": 1, "h": "u", "n": [5], "aA": {}}
+        for i, t in enumerate(ts)
+    ]
+    out = reconstruct_feature(
+        "way", 2, {"type": "LineString", "coordinates": []}, history, locs
+    )
+    majors = [f["properties"] for f in out if f["properties"]["@minorVersion"] == 0]
+    assert len(majors) == len(ts)
+    for a, t_next in zip(majors, ts[1:]):
+        assert a["@validUntil"] == t_next
+    assert majors[-1]["@validUntil"] is None  # way quirk: null

@@ -201,3 +201,27 @@ def test_way_validity_rechaining_with_minors():
     assert v1_minor["@validUntil"] == 10000
     assert "@changeset" not in v1_minor
     assert v2_major["@validUntil"] is None  # way quirk: null, not false
+
+
+def test_geometry_only_mode():
+    history = [
+        {"i": 1, "c": 5, "t": 100, "u": 1, "h": "a", "p": [0.0, 0.0], "aA": {"k": "v"}},
+    ]
+    out = reconstruct_feature(
+        "node", 1, None, history, None, config={"GEOMETRY_ONLY": True}
+    )
+    assert out[0]["properties"] == {"@validSince": 100, "@validUntil": False}
+
+
+def test_include_diffs_mode():
+    history = [
+        {"i": 1, "c": 5, "t": 100, "u": 1, "h": "a", "p": [0.0, 0.0], "aA": {"k": "v"}},
+        {"i": 2, "c": 6, "t": 200, "u": 1, "h": "a", "p": [1.0, 1.0],
+         "aM": {"k": ["v", "w"]}},
+    ]
+    out = reconstruct_feature(
+        "node", 1, None, history, None,
+        config={"INCLUDE_DIFFS_ON_MAJOR_VERSIONS": True},
+    )
+    assert out[0]["properties"]["aA"] == {"k": "v"}
+    assert out[1]["properties"]["aM"] == {"k": ["v", "w"]}

@@ -1,0 +1,59 @@
+"""Structured Streaming ops golden-compared against batch plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_wayback_spark.streaming.events import (
+    read_event_stream,
+    run_available_now,
+    sessionize,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(out)
+    return out
+
+
+def test_windowed_counts_match_batch(spark, events_path):
+    stream = windowed_event_counts(read_event_stream(spark, events_path))
+    run_available_now(stream, "win_counts")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.table("win_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .collect()
+    )
+    exp = {(r.w.start, r.event_type): (r.n, r.s) for r in batch}
+    assert got == exp
+    assert len(exp) > 5
+
+
+def test_sessionize_matches_batch(spark, events_path):
+    stream = sessionize(read_event_stream(spark, events_path), gap="5 minutes")
+    run_available_now(stream, "sessions")
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.table("sessions").collect()
+    }
+    batch = (
+        spark.read.parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "5 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    exp = {(r.user_id, r.s.start): r.n for r in batch}
+    assert got == exp
+    # total events preserved across sessions
+    assert sum(got.values()) == spark.read.parquet(events_path).count()
