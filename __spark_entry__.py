@@ -350,6 +350,45 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregate (breadth check: hash agg + rounding
+    parity across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + window top-N (broadcastable dim join parity)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    joined = rev.join(cust, rev.o_custkey == cust.c_custkey).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        "revenue",
+        "n_orders",
+    )
+    w = Window.orderBy(F.desc("revenue"), F.col("custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # pages-domain queries (rows-only checks: the corpus is engine-synthesized)
 
@@ -410,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
         "pages_history": q_pages_history,
         "pages_reconstruct": q_pages_reconstruct,
         "pages_tiles": q_pages_tiles,
@@ -558,6 +599,30 @@ def oracle_sql() -> dict[str, str]:
                    min(md5('2:' || shingle)) AS sig_2,
                    min(md5('3:' || shingle)) AS sig_3
             FROM sh GROUP BY doc_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            WITH rev AS (
+              SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT custkey, name, revenue, n_orders, rank FROM (
+              SELECT c.c_custkey AS custkey, c.c_name AS name,
+                     rev.revenue, rev.n_orders,
+                     CAST(row_number() OVER (
+                       ORDER BY rev.revenue DESC, c.c_custkey) AS BIGINT) AS rank
+              FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+            ) WHERE rank <= 10
         """,
         "lsh_pairs": f"""
             WITH sh AS (

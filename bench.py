@@ -95,11 +95,9 @@ def measure(cores: int) -> dict:
     warm = _scale_pages(spark).limit(40_000)
     recon = pipeline.reconstruction_pipeline(warm)
     assign_tiles(recon.filter(F.col("geometry").isNotNull()), z=15).count()
-    # best of 2 timed runs: single-box walls jitter with GC/page-cache
+    # single timed run per subprocess; the caller interleaves two
+    # subprocesses per core count and min-combines
     n_pages, n_tiles, wall = core_job(spark)
-    n_pages2, n_tiles2, wall2 = core_job(spark)
-    if wall2 < wall:
-        n_pages, n_tiles, wall = n_pages2, n_tiles2, wall2
     spark.stop()
     return {
         "cores": cores,
@@ -181,8 +179,20 @@ def main() -> None:
         # between the two sizes — which they would be on a real
         # N-executor vs 4N-executor cluster. 4→16 keeps per-core
         # memory bandwidth/turbo comparable; see BASELINE.md.
-        lo = _measure_subprocess(4)
-        hi = _measure_subprocess(16)
+        # Interleaved double measurement, min-combined: the sandbox
+        # host is a shared VM whose noisy-neighbor windows can skew a
+        # single run by 20-30%; interleaving N/4N samples the same
+        # windows for both sizes.
+        def _min_run(cores: int, runs: list[dict]) -> dict:
+            best = min(runs, key=lambda r: r["wall"])
+            return best
+
+        hi1 = _measure_subprocess(16)
+        lo1 = _measure_subprocess(4)
+        hi2 = _measure_subprocess(16)
+        lo2 = _measure_subprocess(4)
+        lo = _min_run(4, [lo1, lo2])
+        hi = _min_run(16, [hi1, hi2])
         scaling = {
             "cores_n": 4,
             "cores_4n": 16,
