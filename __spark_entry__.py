@@ -311,6 +311,27 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-pruned EXACT kNN (boundary certificate + brute fallback) —
+    oracle-checked against the same brute-force SQL as `knn`."""
+    from osm_wayback_spark.operators.spatial import knn_exact
+
+    region = _t(spark, sf_dir, "region")
+    queries = region.select(
+        F.col("r_regionkey").alias("query_id"),
+        (F.col("r_regionkey") * 31.0 - 60.0).alias("lon"),
+        (F.col("r_regionkey") * 17.0 - 40.0).alias("lat"),
+    )
+    pts = _event_points(spark, sf_dir)
+    out = knn_exact(pts, queries, k=5, res=4, ring=1)
+    return out.select(
+        "query_id",
+        "point_id",
+        F.round("dist2", 6).alias("dist2"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-pruned kNN — the scale path (rows-only; approximate by
     construction at ring=1)."""
@@ -447,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        "knn_exact": q_knn_exact,
         "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,
         "pricing_summary": q_pricing_summary,
@@ -562,7 +584,27 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             ) WHERE rank <= 5
         """,
-        "cosine_topk": """
+"knn_exact": f"""
+            WITH pts AS ({_EVENT_POINTS_SQL}),
+            q AS (SELECT r_regionkey AS query_id,
+                         r_regionkey * 31.0 - 60.0 AS q_lon,
+                         r_regionkey * 17.0 - 40.0 AS q_lat
+                  FROM region),
+            d AS (
+              SELECT q.query_id, pts.point_id,
+                     (pts.lon - q.q_lon) * (pts.lon - q.q_lon)
+                   + (pts.lat - q.q_lat) * (pts.lat - q.q_lat) AS dist2_raw
+              FROM pts CROSS JOIN q
+            )
+            SELECT query_id, point_id, round(dist2_raw, 6) AS dist2,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist2_raw, point_id) AS rank
+              FROM d
+            ) WHERE rank <= 5
+        """,
+                "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS a FROM embeddings WHERE vec_id < 5),
             scored AS (
               SELECT q.query_id, e.vec_id,

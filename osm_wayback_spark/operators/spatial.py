@@ -60,16 +60,33 @@ def polyfill(polygons: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
             for pid, rj in zip(pdf["polygon_id"], pdf["rings_json"]):
                 rings = json.loads(rj)
                 outer = np.asarray(rings[0], dtype=float)
-                cells = cover_bbox(
+                bbox = (
                     outer[:, 0].min(), outer[:, 1].min(),
-                    outer[:, 0].max(), outer[:, 1].max(), res,
+                    outer[:, 0].max(), outer[:, 1].max(),
                 )
+                # Blowup guard: a continent-sized polygon at a fine
+                # res would polyfill into millions of cells. Coarsen
+                # THIS polygon's cover until bounded; the res is
+                # packed inside the cell id, and point_in_polygon
+                # joins the point side once per distinct res in use,
+                # so correctness is preserved (refine is exact anyway).
+                r = res
+                cells = cover_bbox(*bbox, r)
+                while len(cells) > 4096 and r > 0:
+                    r -= 1
+                    cells = cover_bbox(*bbox, r)
                 for c in cells:
-                    rows.append({"polygon_id": int(pid), "cell": c, "rings_json": rj})
-            yield pd.DataFrame(rows, columns=["polygon_id", "cell", "rings_json"])
+                    rows.append(
+                        {"polygon_id": int(pid), "cell": c, "rings_json": rj,
+                         "res_used": r}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["polygon_id", "cell", "rings_json", "res_used"]
+            )
 
     return polygons.mapInPandas(
-        kernel, schema="polygon_id long, cell long, rings_json string"
+        kernel,
+        schema="polygon_id long, cell long, rings_json string, res_used int",
     )
 
 
@@ -87,15 +104,32 @@ def point_in_polygon(
     rings_json = GeoJSON Polygon coordinates (outer ring first).
     """
     poly_cells = polyfill(polygons, res)
-    pts = points.select(
+    # Huge polygons polyfill at a coarser res (bounded cover); join
+    # the point side once per distinct res actually in use. The
+    # distinct-res set is tiny (≤ res+1) — one cheap driver round.
+    res_used = [
+        r.res_used for r in poly_cells.select("res_used").distinct().collect()
+    ]
+    base = points.select(
         F.col(point_id).alias("point_id"),
         F.col(lon).alias("lon"),
         F.col(lat).alias("lat"),
-        cell_id(F.col(lon), F.col(lat), res).alias("cell"),
     )
-    # Candidate equi-join on cell — the polygon side is typically the
-    # small one; let AQE/broadcast decide, skew-split hot cells.
-    cand = pts.join(poly_cells, on="cell", how="inner")
+    cand = None
+    for r in sorted(res_used):
+        pts_r = base.withColumn("cell", cell_id(F.col("lon"), F.col("lat"), r))
+        # Candidate equi-join on cell — the polygon side is typically
+        # the small one; let AQE/broadcast decide, skew-split hot cells.
+        part = pts_r.join(
+            poly_cells.filter(F.col("res_used") == r).drop("res_used"),
+            on="cell",
+            how="inner",
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    if cand is None:
+        return points.sparkSession.createDataFrame(
+            [], "point_id long, polygon_id long"
+        )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -134,10 +168,11 @@ def knn_brute(
     dist2, rank). Deterministic tie-break on point_id.
 
     Scale shape: broadcast nested-loop against the (huge) point side
-    is map-only; the global top-k per query is one shuffle on
-    query_id over ≤ |points-partitions|·k pre-filtered rows when
-    Catalyst pushes the window — we pre-reduce with a per-partition
-    local top-k to force that property explicitly.
+    is map-only; the rank<=k filter triggers Catalyst's
+    WindowGroupLimit rule in PARTIAL mode before the shuffle (verified
+    in the physical plan), so the exchange on query_id carries at most
+    |point-partitions|·k·|queries| rows — a per-partition local top-k
+    for free, no manual pre-reduce needed.
     """
     q = F.broadcast(
         queries.select(
@@ -159,6 +194,77 @@ def knn_brute(
         .filter(F.col("rank") <= k)
         .select("query_id", "point_id", F.col("dist2"), "rank")
     )
+
+
+def knn_exact(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int = DEFAULT_RES,
+    ring: int = 1,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """EXACT kNN at scale: cell-ring candidates + a per-query
+    exactness certificate + brute-force fallback only where needed.
+
+    Certificate: if a query's k-th candidate distance is ≤ its
+    Chebyshev distance to the ring-block boundary, no point outside
+    the ring can be closer — the cell answer is provably exact.
+    Queries failing the certificate (near cell edges / sparse areas)
+    are re-answered by knn_brute; in practice that set is small, so
+    the expensive broadcast-nested-loop runs over a sliver.
+    """
+    import math as _m
+
+    approx = knn_cells(
+        points, queries, k, res, ring, point_id, query_id
+    ).cache()
+
+    n = float(2**res)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"),
+    )
+    qx = F.floor((F.col("q_lon") + 180.0) / 360.0 * n)
+    rad = F.radians(F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), F.col("q_lat"))))
+    merc = F.log(F.tan(rad) + 1.0 / F.cos(rad))
+    qy = F.floor((1.0 - merc / _m.pi) / 2.0 * n)
+
+    def lat_of(y):  # inverse Web-Mercator row edge
+        return F.degrees(F.atan(F.sinh(_m.pi * (1.0 - 2.0 * y / n))))
+
+    west = (qx - ring) / n * 360.0 - 180.0
+    east = (qx + ring + 1) / n * 360.0 - 180.0
+    north = lat_of(qy - ring)
+    south = lat_of(qy + ring + 1)
+    boundary = F.least(
+        F.col("q_lon") - west,
+        east - F.col("q_lon"),
+        F.col("q_lat") - south,
+        north - F.col("q_lat"),
+    )
+    qb = q.withColumn("_bound2", boundary * boundary)
+
+    kth = approx.groupBy("query_id").agg(
+        F.count("*").alias("_n"), F.max("dist2").alias("_kth")
+    )
+    verdict = qb.join(kth, on="query_id", how="left").select(
+        "query_id",
+        ((F.col("_n") >= k) & (F.col("_kth") <= F.col("_bound2"))).alias("_exact"),
+    )
+    exact_ids = verdict.filter(F.col("_exact"))
+    fallback_q = queries.join(
+        exact_ids.select(F.col("query_id").alias(query_id)),
+        on=query_id,
+        how="left_anti",
+    )
+    exact_part = approx.join(
+        exact_ids.select("query_id"), on="query_id", how="inner"
+    )
+    brute_part = knn_brute(points, fallback_q, k, point_id, query_id)
+    return exact_part.unionByName(brute_part)
 
 
 def knn_cells(

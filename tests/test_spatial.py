@@ -83,3 +83,35 @@ def test_knn_cells_subset_of_brute(spark, pts):
     # every cell-path neighbor must be a real point; ranks consistent
     brute = {r.point_id for r in knn_brute(pdf, queries, k=50).collect()}
     assert {r.point_id for r in cells} <= brute
+
+
+def test_pip_huge_polygon_coarsens_not_blows(spark, pts):
+    # near-global polygon at fine res: polyfill must coarsen, results
+    # still exact
+    rows, pdf = pts
+    big = [[[-179.0, -80.0], [179.0, -80.0], [179.0, 80.0], [-179.0, 80.0], [-179.0, -80.0]]]
+    poly_df = spark.createDataFrame(
+        [(1, json.dumps(big))], "polygon_id long, rings_json string"
+    )
+    got = {r.point_id for r in point_in_polygon(pdf, poly_df, res=12).collect()}
+    exp = {i for i, lon, lat in rows if -179 < lon < 179 and -80 < lat < 80}
+    assert got == exp
+
+
+def test_knn_exact_matches_brute(spark, pts):
+    from osm_wayback_spark.operators.spatial import knn_exact
+
+    rows, pdf = pts
+    queries = spark.createDataFrame(
+        [(i, float(i * 25 - 100), float(i * 11 - 30)) for i in range(8)],
+        "query_id long, lon double, lat double",
+    )
+    exact = {
+        (r.query_id, r.rank): r.point_id
+        for r in knn_exact(pdf, queries, k=4, res=4, ring=1).collect()
+    }
+    brute = {
+        (r.query_id, r.rank): r.point_id
+        for r in knn_brute(pdf, queries, k=4).collect()
+    }
+    assert exact == brute
