@@ -371,6 +371,32 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts per document."""
+    from osm_wayback_spark.functions.text import token_count_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count_bpe(F.col("text")).cast("bigint").alias("n_bpe_tokens")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4; exact —
+    the LSH-bucketed variant is ann_lsh)."""
+    from osm_wayback_spark.operators.similarity import with_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        with_cosine(pairs)
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped aggregate (breadth check: hash agg + rounding
     parity across engines)."""
@@ -471,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact": q_knn_exact,
         "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,
+        "token_stats_bpe": q_token_stats_bpe,
+        "embedding_near_dup": q_embedding_near_dup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "pages_history": q_pages_history,
@@ -641,6 +669,26 @@ def oracle_sql() -> dict[str, str]:
                    min(md5('2:' || shingle)) AS sig_2,
                    min(md5('3:' || shingle)) AS sig_3
             FROM sh GROUP BY doc_id
+        """,
+        "token_stats_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '(\w+|[^\w\s])', 0)) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                   6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                  6) >= 0.4
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

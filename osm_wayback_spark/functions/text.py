@@ -32,6 +32,14 @@ def token_count(text: Column) -> Column:
     )
 
 
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish pre-tokenization count: word runs and individual
+    punctuation marks count separately (the split most BPE vocabs
+    assume). Pattern kept to the Java-regex / RE2 common subset so
+    the DuckDB oracle mirrors it exactly."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"(\w+|[^\w\s])"), 0))
+
+
 def _hits(text: Column, vocab: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in vocab])
     return F.size(F.filter(words(text), lambda w: F.array_contains(arr, F.lower(w))))

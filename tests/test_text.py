@@ -61,3 +61,20 @@ def test_shingles(spark):
     got = {r.doc_id: sorted(r.v) for r in df.select("doc_id", shingles(F.col("text"), 3).alias("v")).collect()}
     assert got[1] == ["a b c", "b c d"]
     assert got[2] == ["a b"]  # shorter than n → single full shingle
+
+
+def test_token_count_bpe(spark):
+    from osm_wayback_spark.functions.text import token_count_bpe
+
+    df = spark.createDataFrame(
+        [(1, "hello, world! it's 2x"), (2, "abc"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.v
+        for r in df.select("doc_id", token_count_bpe(F.col("text")).alias("v")).collect()
+    }
+    # hello , world ! it ' s 2x → 8
+    assert got[1] == 8
+    assert got[2] == 1
+    assert got[3] == 0
