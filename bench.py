@@ -191,8 +191,11 @@ def main() -> None:
         lo1 = _measure_subprocess(4)
         hi2 = _measure_subprocess(16)
         lo2 = _measure_subprocess(4)
+        # a third sample on the cheap (4N) side: its shorter wall is
+        # the more noise-sensitive of the two
+        hi3 = _measure_subprocess(16)
         lo = _min_run(4, [lo1, lo2])
-        hi = _min_run(16, [hi1, hi2])
+        hi = _min_run(16, [hi1, hi2, hi3])
         scaling = {
             "cores_n": 4,
             "cores_4n": 16,
