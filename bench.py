@@ -187,15 +187,17 @@ def main() -> None:
             best = min(runs, key=lambda r: r["wall"])
             return best
 
-        hi1 = _measure_subprocess(16)
-        lo1 = _measure_subprocess(4)
-        hi2 = _measure_subprocess(16)
-        lo2 = _measure_subprocess(4)
-        # a third sample on the cheap (4N) side: its shorter wall is
-        # the more noise-sensitive of the two
-        hi3 = _measure_subprocess(16)
-        lo = _min_run(4, [lo1, lo2])
-        hi = _min_run(16, [hi1, hi2, hi3])
+        # SYMMETRIC sampling — equal counts per side, interleaved, so
+        # the best-of bias cancels between numerator and denominator
+        # (an extra sample on one side systematically inflates or
+        # deflates the reported efficiency).
+        n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+        his, los = [], []
+        for _ in range(n_samples):
+            his.append(_measure_subprocess(16))
+            los.append(_measure_subprocess(4))
+        lo = _min_run(4, los)
+        hi = _min_run(16, his)
         scaling = {
             "cores_n": 4,
             "cores_4n": 16,

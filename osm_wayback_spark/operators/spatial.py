@@ -250,9 +250,12 @@ def knn_exact(
     kth = approx.groupBy("query_id").agg(
         F.count("*").alias("_n"), F.max("dist2").alias("_kth")
     )
+    # strict <: a candidate EXACTLY on the ring boundary could tie
+    # with a point just outside it, and the point_id tie-break would
+    # then differ from knn_brute — ties fall back to brute force.
     verdict = qb.join(kth, on="query_id", how="left").select(
         "query_id",
-        ((F.col("_n") >= k) & (F.col("_kth") <= F.col("_bound2"))).alias("_exact"),
+        ((F.col("_n") >= k) & (F.col("_kth") < F.col("_bound2"))).alias("_exact"),
     )
     exact_ids = verdict.filter(F.col("_exact"))
     fallback_q = queries.join(

@@ -17,6 +17,7 @@ from .operators.history import add_history
 from .operators.locations import add_node_locations
 from .operators.reconstruction import reconstruct
 from .sources.extract import (
+    dedup_versions,
     extract_versions,
     extract_versions_native,
     features_from_versions,
@@ -28,9 +29,10 @@ def build_tables(pages: DataFrame, native: bool = True) -> dict[str, DataFrame]:
     """``native=True`` parses the payload JVM-side (throughput path);
     False uses the Arrow kernel (the general-purpose extraction path —
     real-world html needs a real parser). Outputs are bit-identical
-    on the synthetic corpus (tested)."""
+    on the synthetic corpus (tested). Re-crawled versions are deduped
+    last-write-wins (dedup_versions) before anything downstream."""
     extractor = extract_versions_native if native else extract_versions
-    versions_ext = extractor(pages)
+    versions_ext = dedup_versions(extractor(pages))
     versions = versions_ext.drop("geometry_json")
     return {
         "versions": versions,
@@ -74,7 +76,7 @@ def staged_pipeline(spark, pages: DataFrame, checkpoint_root: str) -> DataFrame:
 
     versions_ext = run_stage(
         spark, checkpoint_root, "versions",
-        lambda: extract_versions_native(pages),
+        lambda: dedup_versions(extract_versions_native(pages)),
     )
     versions = versions_ext.drop("geometry_json")
     geom = run_stage(

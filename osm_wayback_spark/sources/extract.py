@@ -52,11 +52,21 @@ def extract_island(html_bytes: bytes) -> dict | None:
         return None
 
 
-_VERSIONS_OUT_COLS = [f.name for f in VERSIONS.fields] + ["geometry_json"]
+# warc_ts rides along so ``dedup_versions`` can apply the RocksDB
+# last-write-wins semantics (db.hpp key design: a re-crawled version
+# overwrites the earlier put) — dropped again right after the dedup.
+_VERSIONS_OUT_COLS = [f.name for f in VERSIONS.fields] + [
+    "geometry_json",
+    "warc_ts",
+]
 # StructType.add mutates in place — build the extended schema once,
 # from a copy.
 _VERSIONS_EXT = T.StructType(
-    list(VERSIONS.fields) + [T.StructField("geometry_json", T.StringType())]
+    list(VERSIONS.fields)
+    + [
+        T.StructField("geometry_json", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+    ]
 )
 
 # Typed island schema for the JVM-native parse (geometry handled
@@ -70,7 +80,11 @@ _ISLAND_SCHEMA = T.StructType(
     ]
 )
 
-_ISLAND_RE_SQL = r'<script type="application/osm\+json">(.*?)</script>'
+# (?s): the Arrow kernel compiles with re.DOTALL; the JVM path needs
+# the inline flag or a pretty-printed (multi-line) island would be
+# silently dropped by the isNotNull filter — parity tested on a
+# multi-line fixture in test_extract.py.
+_ISLAND_RE_SQL = r'(?s)<script type="application/osm\+json">(.*?)</script>'
 _GEOM_RE_SQL = r'"geometry":(\{[^{}]*\})'
 
 
@@ -90,6 +104,7 @@ def extract_versions_native(pages: DataFrame) -> DataFrame:
         pages.select(
             parsed.alias("r"),
             F.when(geom != "", geom).alias("geometry_json"),
+            F.col("warc_ts"),
         )
         .filter(F.col("r").isNotNull() & F.col("r.element_type").isNotNull())
         .select(
@@ -102,6 +117,7 @@ def extract_versions_native(pages: DataFrame) -> DataFrame:
                 for f in VERSIONS.fields
             ],
             "geometry_json",
+            "warc_ts",
         )
         # keep column order identical to the Arrow kernel
         .select(*_VERSIONS_OUT_COLS)
@@ -116,7 +132,7 @@ def extract_versions(pages: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for html_bytes in pdf["html"]:
+            for html_bytes, wts in zip(pdf["html"], pdf["warc_ts"]):
                 isl = extract_island(html_bytes)
                 if isl is None:
                     continue
@@ -138,11 +154,34 @@ def extract_versions(pages: DataFrame) -> DataFrame:
                         "geometry_json": json.dumps(geom, separators=(",", ":"))
                         if geom is not None
                         else None,
+                        "warc_ts": wts,
                     }
                 )
             yield pd.DataFrame(rows, columns=_VERSIONS_OUT_COLS)
 
     return pages.mapInPandas(kernel, schema=_VERSIONS_EXT)
+
+
+def dedup_versions(versions_ext: DataFrame) -> DataFrame:
+    """Last-write-wins per (element_type, id, version): a page crawled
+    twice for the same version keeps only the latest crawl (max
+    warc_ts), matching the reference's RocksDB put semantics (db.hpp —
+    the version-keyed put overwrites). Without this, duplicate crawls
+    would yield duplicate @history records and a skewed lag-based tag
+    diff.
+
+    One window on (element_type, id) — the SAME partitioning as the
+    tag-diff window and the history join downstream, so Catalyst plans
+    a single Exchange for all three.
+    """
+    w = Window.partitionBy("element_type", "id").orderBy(
+        "version", F.desc("warc_ts")
+    )
+    return (
+        versions_ext.withColumn("_pv", F.lag("version").over(w))
+        .filter(F.col("_pv").isNull() | (F.col("_pv") != F.col("version")))
+        .drop("_pv", "warc_ts")
+    )
 
 
 def verify_text_invariant(pages: DataFrame) -> DataFrame:

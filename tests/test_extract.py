@@ -58,3 +58,76 @@ def test_native_extraction_matches_arrow_kernel(spark):
         .collect()
     )
     assert a == b
+
+
+def _page_row(url, warc_ts, island_json, body="hello world"):
+    import datetime
+
+    html = (
+        f"<html><body><p>{body}</p>"
+        f'<script type="application/osm+json">{island_json}</script>'
+        f"</body></html>"
+    ).encode()
+    return (url, datetime.datetime.fromisoformat(warc_ts), html, body, "en")
+
+
+def test_multiline_island_native_matches_arrow(spark):
+    """A pretty-printed (multi-line) JSON island must survive BOTH
+    extraction paths — the JVM regex needs (?s) to cross newlines."""
+    from osm_wayback_spark.schemas import PAGES
+    from osm_wayback_spark.sources.extract import extract_versions_native
+
+    island = (
+        '{\n  "element_type": "node",\n  "id": 1,\n  "version": 1,\n'
+        '  "ts": 1000,\n  "changeset": 5,\n  "uid": 7,\n  "user": "a",\n'
+        '  "visible": true,\n  "deleted": false,\n'
+        '  "tags": {"k": "v"},\n  "lonlat": [1.5, 2.5]\n}'
+    )
+    pages = spark.createDataFrame(
+        [_page_row("u://1", "2024-01-01T00:00:00", island)], schema=PAGES
+    )
+    a = extract_versions(pages).collect()
+    b = extract_versions_native(pages).collect()
+    assert len(a) == len(b) == 1
+    assert a == b
+    assert a[0].tags == {"k": "v"}
+
+
+def test_dedup_versions_last_write_wins(spark):
+    """Two crawls of the same (entity, version) keep only the later
+    crawl's record (RocksDB put overwrite semantics)."""
+    import json as _json
+
+    from osm_wayback_spark.schemas import PAGES
+    from osm_wayback_spark.sources.extract import (
+        dedup_versions,
+        extract_versions_native,
+    )
+
+    def isl(version, ts, tag):
+        return _json.dumps(
+            {
+                "element_type": "node",
+                "id": 9,
+                "version": version,
+                "ts": ts,
+                "changeset": 1,
+                "uid": 1,
+                "user": "u",
+                "visible": True,
+                "deleted": False,
+                "tags": {"crawl": tag},
+                "lonlat": [0.0, 0.0],
+            }
+        )
+
+    rows = [
+        _page_row("u://9", "2024-01-01T00:00:00", isl(1, 100, "early")),
+        _page_row("u://9", "2024-06-01T00:00:00", isl(1, 100, "late")),
+        _page_row("u://9", "2024-01-02T00:00:00", isl(2, 200, "only")),
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES)
+    out = dedup_versions(extract_versions_native(pages)).orderBy("version").collect()
+    assert [r.version for r in out] == [1, 2]
+    assert out[0].tags == {"crawl": "late"}  # max warc_ts wins
+    assert "warc_ts" not in out[0].asDict()
