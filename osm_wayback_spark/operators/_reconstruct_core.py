@@ -56,15 +56,21 @@ def fold_tags(base: dict, rec: dict) -> dict:
     return base
 
 
-def _get_node_versions(
-    node_locations: dict,
-    node_ref: int,
-    valid_since,
-    valid_until,
-    changeset,
-):
-    """way-history-builder.js:32-155. Returns list | None | False."""
-    by_changeset = node_locations.get(str(node_ref))
+def _sorted_node_versions(node_locations: dict, node_ref: int):
+    """Per-ref preparation (way-history-builder.js:41-53): changeset
+    entries → time-sorted, location-bearing version list. Returns
+    None (ref unknown) or the list (possibly empty ≙ all redacted).
+
+    Split out of the filter so `_build_way` can memoize it: the sort
+    is identical for every major version of the way, and the
+    reference re-sorts per (version, ref) only because its builder is
+    per-line anyway.
+    """
+    # keys are ints when fed Arrow-native maps, strings when fed
+    # parsed JSON (the reference's wire format) — accept both.
+    by_changeset = node_locations.get(node_ref)
+    if by_changeset is None:
+        by_changeset = node_locations.get(str(node_ref))
     if by_changeset is None:
         return None
     # JS Object.values of integer-like keys iterates in ascending
@@ -75,7 +81,33 @@ def _get_node_versions(
         for k, v in sorted(by_changeset.items(), key=lambda kv: int(kv[0]))
     ]
     node_versions = sorted(entries, key=lambda n: n["t"])
-    node_versions = [n for n in node_versions if n.get("p") is not None]
+    return [n for n in node_versions if n.get("p") is not None]
+
+
+_UNPREPARED = object()  # sentinel: "no memoized sort supplied"
+
+
+def _get_node_versions(
+    node_locations: dict,
+    node_ref: int,
+    valid_since,
+    valid_until,
+    changeset,
+    prepared=_UNPREPARED,
+):
+    """way-history-builder.js:32-155. Returns list | None | False.
+
+    ``prepared`` short-circuits `_sorted_node_versions` with a
+    memoized result (kernel hot path); None is a valid memo value
+    (ref unknown), hence the sentinel default.
+    """
+    node_versions = (
+        prepared
+        if prepared is not _UNPREPARED
+        else _sorted_node_versions(node_locations, node_ref)
+    )
+    if node_versions is None:
+        return None
     if not node_versions:
         return False  # "LIKELY REDACTED"
     if len(node_versions) == 1:
@@ -102,7 +134,11 @@ def _get_node_versions(
     else:
         filtered = node_versions
 
-    filterable = copy.deepcopy(filtered)
+    # The JS "stay safe from atomic changes" deep copy
+    # (way-history-builder.js:106 JSON.parse(JSON.stringify(...)))
+    # only changes object identity — nothing downstream mutates the
+    # node records — so a list copy is semantically identical.
+    filterable = list(filtered)
     if valid_until:
         # OVERRIDE 2: matching changeset survives the until-filter.
         filterable = [
@@ -123,13 +159,27 @@ def _get_node_versions(
 
 
 def _build_all_possible(
-    node_locations: dict, node_refs, valid_since, valid_until, changeset
+    node_locations: dict,
+    node_refs,
+    valid_since,
+    valid_until,
+    changeset,
+    memo: dict | None = None,
 ):
-    """way-history-builder.js:169-337."""
+    """way-history-builder.js:169-337. ``memo`` caches the per-ref
+    time-sorted version lists across the way's major versions."""
     versions: list[list[dict]] = []
     for ref in node_refs:
+        ref = int(ref)
+        if memo is None:
+            prepared = _sorted_node_versions(node_locations, ref)
+        elif ref in memo:
+            prepared = memo[ref]
+        else:
+            prepared = memo[ref] = _sorted_node_versions(node_locations, ref)
         possible = _get_node_versions(
-            node_locations, ref, valid_since, valid_until, changeset
+            node_locations, ref, valid_since, valid_until, changeset,
+            prepared=prepared,
         )
         if possible:
             versions.append(list(possible))
@@ -208,6 +258,7 @@ def _build_way(history: list[dict], node_locations: dict) -> dict:
     """way-history-builder.js:347-443 → {major_version: [features]}."""
     hg: dict[int, list[dict]] = {}
     n = len(history)
+    memo: dict[int, list | None] = {}
     for i, ver in enumerate(history):
         valid_since = ver["t"] if i > 0 else False
         valid_until = history[i + 1]["t"] - CHANGESET_THRESHOLD if i < n - 1 else False
@@ -215,7 +266,8 @@ def _build_way(history: list[dict], node_locations: dict) -> dict:
             continue
         mvn = ver["i"]
         geoms = _build_all_possible(
-            node_locations, ver["n"], valid_since, valid_until, ver.get("c")
+            node_locations, ver["n"], valid_since, valid_until, ver.get("c"),
+            memo=memo,
         )
         # geometries.majorVersion is an array — always truthy in JS,
         # even when empty.
@@ -315,7 +367,9 @@ def reconstruct_feature(
     per-(major, minor)-version output Features (WRITE_EVERY_GEOMETRY
     mode)."""
     cfg = {**CONFIG, **(config or {})}
-    if not history:
+    # len() (not truthiness): history may be a numpy array when fed
+    # straight from the Arrow boundary.
+    if history is None or len(history) == 0:
         return []
 
     if element_type == "node":

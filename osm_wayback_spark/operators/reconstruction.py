@@ -12,11 +12,13 @@ output already has ONE row per feature with everything nested, so this
 stage is embarrassingly parallel (a narrow map), exactly what the
 reference's process pool was approximating.
 
-Nested inputs cross the Arrow boundary as JSON strings (`to_json`),
-which both sidesteps Arrow nested-map limits and matches the
-reference's wire format (stage 3 → stage 4 is JSON lines anyway);
-`to_json` drops null struct fields, reproducing the
-"conditionally-present JSON key" hasOwnProperty semantics.
+Nested inputs cross the Arrow boundary NATIVELY (history as
+array<struct>, node_locations as map<long, map<long, struct>>) — no
+JSON round-trip. Arrow hands the kernel dicts/ndarrays directly;
+``reconstruct_feature`` treats a None-valued struct field like the
+reference's absent JSON member (its hasOwnProperty semantics reduce
+to ``.get() is None`` checks throughout). The one JSON emission left
+is the output GeoJSON geometry string — the actual wire format.
 """
 
 from __future__ import annotations
@@ -26,33 +28,36 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
+from pyspark.sql import types as T
 
 from ..schemas import RECONSTRUCTED
 from ._reconstruct_core import reconstruct_feature
 
-from pyspark.sql import types as T
-
-_OUT_COLS = [f.name for f in RECONSTRUCTED.fields] + ["feature_json"]
-# copy — StructType.add mutates the shared schema object
-_OUT_SCHEMA = T.StructType(
-    list(RECONSTRUCTED.fields) + [T.StructField("feature_json", T.StringType())]
-)
+_BASE_COLS = [f.name for f in RECONSTRUCTED.fields]
 
 
-def _rows_for_feature(
+def _np_default(o):
+    """json.dumps fallback: Arrow hands coordinate pairs as numpy
+    arrays; ``tolist`` restores plain floats (identical repr)."""
+    return o.tolist()
+
+
+def rows_for_feature(
     element_type: str,
     osm_id: int,
-    geometry_json: str | None,
-    history_json: str | None,
-    node_locations_json: str | None,
+    geometry: dict | None,
+    history: list | None,
+    node_locations: dict | None,
     config: dict | None = None,
+    with_feature_json: bool = False,
 ) -> list[dict]:
-    geometry = json.loads(geometry_json) if geometry_json else None
-    history = json.loads(history_json) if history_json else []
-    node_locations = (
-        json.loads(node_locations_json) if node_locations_json else None
-    )
+    """One add_history+locations row → 0..N typed output rows.
+
+    Object-based (no JSON strings in): used by the Arrow kernel AND
+    by the driver-side oracle generator (tools / __spark_entry__) so
+    both map reconstructed features to rows identically.
+    """
     feats = reconstruct_feature(
         element_type, osm_id, geometry, history, node_locations, config
     )
@@ -63,32 +68,34 @@ def _rows_for_feature(
         tags = {
             k: v for k, v in props.items() if not k.startswith("@") and v is not None
         }
-        rows.append(
-            {
-                "element_type": element_type,
-                "id": osm_id,
-                # GEOMETRY_ONLY mode strips identity props
-                "version": int(props.get("@version") or 0),
-                "minor_version": int(props.get("@minorVersion") or 0),
-                "valid_since": props.get("@validSince") or None,
-                # quirk: node/relation last version is false, way's is
-                # null — both map to SQL NULL here; feature_json keeps
-                # the raw distinction for golden comparisons.
-                "valid_until": vu
-                if isinstance(vu, int) and not isinstance(vu, bool)
-                else None,
-                "changeset": props.get("@changeset"),
-                "uid": props.get("@uid"),
-                "user": props.get("@user"),
-                "geometry": json.dumps(ft["geometry"], separators=(",", ":"))
-                if ft["geometry"] is not None
-                else None,
-                "tags": tags,
-                "feature_json": json.dumps(
-                    ft, separators=(",", ":"), sort_keys=True
-                ),
-            }
-        )
+        row = {
+            "element_type": element_type,
+            "id": osm_id,
+            # GEOMETRY_ONLY mode strips identity props
+            "version": int(props.get("@version") or 0),
+            "minor_version": int(props.get("@minorVersion") or 0),
+            "valid_since": props.get("@validSince") or None,
+            # quirk: node/relation last version is false, way's is
+            # null — both map to SQL NULL here; feature_json keeps
+            # the raw distinction for golden comparisons.
+            "valid_until": vu
+            if isinstance(vu, int) and not isinstance(vu, bool)
+            else None,
+            "changeset": props.get("@changeset"),
+            "uid": props.get("@uid"),
+            "user": props.get("@user"),
+            "geometry": json.dumps(
+                ft["geometry"], separators=(",", ":"), default=_np_default
+            )
+            if ft["geometry"] is not None
+            else None,
+            "tags": tags,
+        }
+        if with_feature_json:
+            row["feature_json"] = json.dumps(
+                ft, separators=(",", ":"), sort_keys=True, default=_np_default
+            )
+        rows.append(row)
     return rows
 
 
@@ -96,6 +103,7 @@ def reconstruct(
     with_locations: DataFrame,
     target_partitions: int | None = None,
     config: dict | None = None,
+    with_feature_json: bool = False,
 ) -> DataFrame:
     """add_history→add_node_locations output → per-version features.
 
@@ -108,6 +116,11 @@ def reconstruct(
     INCLUDE_DIFFS_ON_MAJOR_VERSIONS,
     INCLUDE_FULL_PROPERTIES_ON_{MAJOR,MINOR}_VERSIONS.
 
+    ``with_feature_json=True`` additionally emits the reference's
+    line format (one sorted-key GeoJSON Feature string per row) —
+    off by default: serializing every feature twice is pure overhead
+    when the consumer is columnar (tiles, parquet sinks).
+
     The input is round-robin repartitioned before the kernel: the
     upstream agg output is small, so AQE coalesces it to few
     partitions — fine for the agg, but it would serialize THIS
@@ -119,28 +132,38 @@ def reconstruct(
         sc = with_locations.sparkSession.sparkContext
         target_partitions = max(sc.defaultParallelism * 3, 8)
     prepared = with_locations.repartition(target_partitions).select(
-        "element_type",
-        "id",
-        "geometry",
-        F.to_json("history").alias("history_json"),
-        F.to_json("node_locations").alias("node_locations_json"),
+        "element_type", "id", "geometry", "history", "node_locations"
+    )
+
+    out_cols = _BASE_COLS + (["feature_json"] if with_feature_json else [])
+    # copy — StructType.add mutates the shared schema object
+    out_schema = T.StructType(
+        list(RECONSTRUCTED.fields)
+        + (
+            [T.StructField("feature_json", T.StringType())]
+            if with_feature_json
+            else []
+        )
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # column-wise accumulation: building one dict-of-lists is
             # several times cheaper than pandas' list-of-dicts path
-            cols: dict[str, list] = {c: [] for c in _OUT_COLS}
-            for et, oid, gj, hj, nlj in zip(
+            cols: dict[str, list] = {c: [] for c in out_cols}
+            for et, oid, gj, hist, nl in zip(
                 pdf["element_type"],
                 pdf["id"],
                 pdf["geometry"],
-                pdf["history_json"],
-                pdf["node_locations_json"],
+                pdf["history"],
+                pdf["node_locations"],
             ):
-                for row in _rows_for_feature(et, int(oid), gj, hj, nlj, config):
-                    for c in _OUT_COLS:
+                geometry = json.loads(gj) if gj else None
+                for row in rows_for_feature(
+                    et, int(oid), geometry, hist, nl, config, with_feature_json
+                ):
+                    for c in out_cols:
                         cols[c].append(row[c])
-            yield pd.DataFrame(cols, columns=_OUT_COLS)
+            yield pd.DataFrame(cols, columns=out_cols)
 
-    return prepared.mapInPandas(kernel, schema=_OUT_SCHEMA)
+    return prepared.mapInPandas(kernel, schema=out_schema)

@@ -25,14 +25,31 @@ from .sources.extract import (
 )
 
 
-def build_tables(pages: DataFrame, native: bool = True) -> dict[str, DataFrame]:
+def build_tables(
+    pages: DataFrame, native: bool = True, reuse: bool = True
+) -> dict[str, DataFrame]:
     """``native=True`` parses the payload JVM-side (throughput path);
     False uses the Arrow kernel (the general-purpose extraction path —
     real-world html needs a real parser). Outputs are bit-identical
     on the synthetic corpus (tested). Re-crawled versions are deduped
-    last-write-wins (dedup_versions) before anything downstream."""
+    last-write-wins (dedup_versions) before anything downstream.
+
+    ``reuse=True`` persists the extracted versions (MEMORY_AND_DISK):
+    the three branches (versions / features / node_locations) form a
+    diamond DAG that would otherwise re-scan + re-extract the pages
+    input once per branch — free at test scale, 2-3 redundant full
+    scans of the (much larger) pages table at 100 TB. The persisted
+    table is the small side of the diamond (columnar versions, no
+    html), so caching it — not the input — is the right trade; on a
+    cluster the executor block manager spills it if needed. Measured
+    at sf0.1/local[32]: 9.9 s → 5.7 s end-to-end. (For durable,
+    resumable materialization use staged_pipeline instead.)"""
+    from pyspark import StorageLevel
+
     extractor = extract_versions_native if native else extract_versions
     versions_ext = dedup_versions(extractor(pages))
+    if reuse:
+        versions_ext = versions_ext.persist(StorageLevel.MEMORY_AND_DISK)
     versions = versions_ext.drop("geometry_json")
     return {
         "versions": versions,
@@ -54,12 +71,21 @@ def geometry_pipeline(pages: DataFrame) -> DataFrame:
     return add_node_locations(hist, t["node_locations"])
 
 
-def reconstruction_pipeline(pages: DataFrame) -> DataFrame:
+def reconstruction_pipeline(
+    pages: DataFrame, with_feature_json: bool = False
+) -> DataFrame:
     """pages → per-version features (≙ stage-4 WRITE_EVERY_GEOMETRY)."""
-    return reconstruct(geometry_pipeline(pages))
+    return reconstruct(
+        geometry_pipeline(pages), with_feature_json=with_feature_json
+    )
 
 
-def staged_pipeline(spark, pages: DataFrame, checkpoint_root: str) -> DataFrame:
+def staged_pipeline(
+    spark,
+    pages: DataFrame,
+    checkpoint_root: str,
+    with_feature_json: bool = False,
+) -> DataFrame:
     """The production shape: each reference stage materialized as a
     resumable checkpoint with per-partition lineage
     (plans/lineage.py), mirroring run.sh's staged files
@@ -88,6 +114,6 @@ def staged_pipeline(spark, pages: DataFrame, checkpoint_root: str) -> DataFrame:
     )
     recon = run_stage(
         spark, checkpoint_root, "versions_out",
-        lambda: reconstruct(geom),
+        lambda: reconstruct(geom, with_feature_json=with_feature_json),
     )
     return recon

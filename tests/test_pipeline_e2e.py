@@ -27,7 +27,7 @@ SF = 0.001
 @pytest.fixture(scope="module")
 def spark_outputs(spark):
     pages = synth_pages(spark, SF)
-    rows = pipeline.reconstruction_pipeline(pages).collect()
+    rows = pipeline.reconstruction_pipeline(pages, with_feature_json=True).collect()
     by_key: dict[tuple, list[str]] = {}
     for r in rows:
         by_key.setdefault((r.element_type, r.id), []).append(r.feature_json)

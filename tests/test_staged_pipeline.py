@@ -13,11 +13,11 @@ def test_staged_equals_lazy(spark, tmp_path):
     pages = synth_pages(spark, SF)
     lazy = {
         (r.element_type, r.id, r.version, r.minor_version): r.feature_json
-        for r in pipeline.reconstruction_pipeline(pages).collect()
+        for r in pipeline.reconstruction_pipeline(pages, with_feature_json=True).collect()
     }
     staged = {
         (r.element_type, r.id, r.version, r.minor_version): r.feature_json
-        for r in pipeline.staged_pipeline(spark, pages, str(tmp_path / "ck")).collect()
+        for r in pipeline.staged_pipeline(spark, pages, str(tmp_path / "ck"), with_feature_json=True).collect()
     }
     assert staged == lazy
 
