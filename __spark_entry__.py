@@ -437,34 +437,203 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# pages-domain queries (rows-only checks: the corpus is engine-synthesized)
+# pages-domain queries — oracle-backed via materialized intermediates:
+# the Spark query itself writes the table the DuckDB SQL reads (fixed
+# path, overwritten per call, so both engines literally share bytes;
+# the driver runs the Spark side first). The relational semantics
+# (feature selection, history join, tag diff, locations resolution,
+# tile cover) are then re-expressed in plain SQL over that table.
+
+_ORACLE_DIR = "/root/repo/.cache/oracle"
+
+
+def _oracle_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract + dedup versions from the pages corpus, materialize for
+    the DuckDB oracle (tags additionally as a sorted k<TAB>v string
+    array — DuckDB list ops beat its map quirks), return the
+    read-back DF so the Spark query computes from the same bytes."""
+    from osm_wayback_spark.sources.extract import (
+        dedup_versions,
+        extract_versions_native,
+    )
+
+    versions_ext = dedup_versions(extract_versions_native(_pages(spark, sf_dir)))
+    kv = F.array_sort(
+        F.transform(
+            F.map_entries("tags"),
+            lambda e: F.concat(e["key"], F.lit("\t"), e["value"]),
+        )
+    )
+    path = f"{_ORACLE_DIR}/versions.parquet"
+    (
+        versions_ext.withColumn("tags_kv", kv)
+        .withColumn("has_geom", F.col("geometry_json").isNotNull())
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
 
 def q_pages_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osm_wayback_spark import pipeline
+    """J1/W1/A1 over the real pipeline: per-feature history length +
+    checksums of the record fields and tag-diff sizes (add_history.cpp
+    semantics, fully relational → SQL-mirrorable)."""
+    from osm_wayback_spark.operators.history import add_history
+    from osm_wayback_spark.sources.extract import features_from_versions
 
-    out = pipeline.history_pipeline(_pages(spark, sf_dir))
-    return out.select(
-        "element_type", "id", "version", F.size("history").alias("n_history")
+    ve = _oracle_versions(spark, sf_dir)
+    feats = features_from_versions(ve)
+    hist = add_history(feats, ve.drop("geometry_json", "tags_kv", "has_geom"))
+    zero = F.lit(0).cast("long")
+    agg = lambda fn: F.aggregate("history", zero, fn)  # noqa: E731
+    return hist.select(
+        "element_type",
+        "id",
+        F.col("version").cast("long").alias("version"),
+        F.size("history").cast("long").alias("n_history"),
+        agg(lambda a, r: a + r["i"]).alias("sum_v"),
+        agg(lambda a, r: a + r["t"]).alias("sum_ts"),
+        agg(lambda a, r: a + F.coalesce(F.size(r["aA"]), F.lit(0))).alias("n_aa"),
+        agg(lambda a, r: a + F.coalesce(F.size(r["aM"]), F.lit(0))).alias("n_am"),
+        agg(lambda a, r: a + F.coalesce(F.size(r["aD"]), F.lit(0))).alias("n_ad"),
+    )
+
+
+def q_pages_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — node-location resolution counts per feature
+    (add_geometry.cpp:50-152): distinct resolved refs + total
+    (node, changeset) entries attached."""
+    from osm_wayback_spark.operators.history import add_history
+    from osm_wayback_spark.operators.locations import add_node_locations
+    from osm_wayback_spark.sources.extract import (
+        features_from_versions,
+        node_locations_from_versions,
+    )
+
+    ve = _oracle_versions(spark, sf_dir)
+    versions = ve.drop("geometry_json", "tags_kv", "has_geom")
+    hist = add_history(features_from_versions(ve), versions)
+    wl = add_node_locations(hist, node_locations_from_versions(versions))
+    inner_sizes = F.transform(
+        F.map_values("node_locations"), lambda by_cs: F.size(by_cs)
+    )
+    return wl.select(
+        "element_type",
+        "id",
+        F.coalesce(F.size(F.map_keys("node_locations")), F.lit(0))
+        .cast("long")
+        .alias("n_nodes"),
+        F.coalesce(
+            F.aggregate(inner_sizes, F.lit(0), lambda a, s: a + s), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_entries"),
     )
 
 
 def q_pages_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/J4 — full reconstruction, hash-compared against an expected
+    table computed by the DRIVER-SIDE oracle path (tests/oracle.py:
+    row-at-a-time re-execution of the reference stages, no Spark), so
+    the whole distributed plumbing (extraction, joins, re-nesting,
+    Arrow kernel) is verified end-to-end."""
+    import os
+
     from osm_wayback_spark import pipeline
+    from osm_wayback_spark.operators.reconstruction import rows_for_feature
+    from osm_wayback_spark.synth import sf_from_dir
+    from tests.oracle import (
+        add_history_oracle,
+        build_index,
+        extract_all,
+        node_locations_oracle,
+    )
+
+    # expected side: pure-Python re-execution, written for DuckDB
+    versions, locs, features = build_index(extract_all(sf_from_dir(sf_dir)))
+    histories = add_history_oracle(versions, features)
+    nested = node_locations_oracle(histories, features, locs)
+    exp = []
+    for key, feat in features.items():
+        for row in rows_for_feature(
+            key[0], key[1], feat.get("geometry"), histories.get(key) or [],
+            nested.get(key),
+        ):
+            exp.append(row)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    cols = [
+        "element_type", "id", "version", "minor_version", "valid_since",
+        "valid_until", "geometry",
+    ]
+    pdf = pd.DataFrame([{c: r[c] for c in cols} for r in exp], columns=cols)
+    schema = pa.schema(
+        [
+            ("element_type", pa.string()),
+            ("id", pa.int64()),
+            ("version", pa.int64()),
+            ("minor_version", pa.int64()),
+            ("valid_since", pa.int64()),
+            ("valid_until", pa.int64()),
+            ("geometry", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        f"{_ORACLE_DIR}/pages_reconstruct_expected.parquet",
+    )
 
     out = pipeline.reconstruction_pipeline(_pages(spark, sf_dir))
     return out.select(
-        "element_type", "id", "version", "minor_version", "valid_since",
-        "valid_until", "geometry",
+        "element_type",
+        "id",
+        F.col("version").cast("long").alias("version"),
+        F.col("minor_version").cast("long").alias("minor_version"),
+        "valid_since",
+        "valid_until",
+        "geometry",
     )
 
 
 def q_pages_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/W4 at pipeline scale — the reconstruction output is
+    materialized, then the z15 vertex+bbox tile cover is computed by
+    the engine AND re-derived in SQL from the same parquet."""
     from osm_wayback_spark import pipeline
     from osm_wayback_spark.operators.tiles import assign_tiles
 
     recon = pipeline.reconstruction_pipeline(_pages(spark, sf_dir))
-    feats = recon.filter(F.col("geometry").isNotNull())
-    return assign_tiles(feats, z=15)
+    path = f"{_ORACLE_DIR}/recon_tiles_in.parquet"
+    (
+        recon.filter(F.col("geometry").isNotNull())
+        .select(
+            "element_type",
+            "id",
+            F.col("version").cast("long").alias("version"),
+            F.col("minor_version").cast("long").alias("minor_version"),
+            "geometry",
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    feats = spark.read.parquet(path)
+    tiles = assign_tiles(
+        feats,
+        z=15,
+        payload_cols=("element_type", "id", "version", "minor_version"),
+    )
+    return tiles.select(
+        F.col("z").cast("long").alias("z"),
+        "x",
+        "y",
+        "element_type",
+        "id",
+        "version",
+        "minor_version",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -502,8 +671,155 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "pages_history": q_pages_history,
+        "pages_locations": q_pages_locations,
         "pages_reconstruct": q_pages_reconstruct,
         "pages_tiles": q_pages_tiles,
+    }
+
+
+def _pages_oracle_sql() -> dict[str, str]:
+    """SQL for the pages-pipeline queries, over the parquet the Spark
+    side materializes under .cache/oracle (see the q_pages_*
+    docstrings)."""
+    v_parquet = f"read_parquet('{_ORACLE_DIR}/versions.parquet/*.parquet')"
+    key = "split_part({}, chr(9), 1)"
+    keys_of = "list_transform({}, _s -> split_part(_s, chr(9), 1))"
+    features_cte = """
+      f AS (
+        SELECT element_type, id, version FROM (
+          SELECT element_type, id, version, has_geom,
+                 row_number() OVER (
+                   PARTITION BY element_type, id ORDER BY version DESC) AS rn
+          FROM v)
+        WHERE rn = 1 AND has_geom
+      )
+    """
+    # z15 tile math (ln-form, identical to functions/tiles.py)
+    tx = (
+        "CAST(greatest(0, least(32767, "
+        "floor(({lon} + 180.0) / 360.0 * 32768.0))) AS BIGINT)"
+    )
+    ty = (
+        "CAST(greatest(0, least(32767, floor((1.0 - "
+        "ln(tan(radians(greatest(-85.05112878, least(85.05112878, {lat})))) "
+        "+ 1.0 / cos(radians(greatest(-85.05112878, least(85.05112878, {lat}))))"
+        ") / pi()) / 2.0 * 32768.0))) AS BIGINT)"
+    )
+    coord_re = (
+        r"(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?),"
+        r"(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
+    )
+    return {
+        "pages_history": f"""
+            WITH v AS (SELECT * FROM {v_parquet}),
+            {features_cte},
+            h AS (
+              SELECT v.element_type, v.id, f.version AS f_version,
+                     v.version, v.ts, v.tags_kv,
+                     lag(v.tags_kv) OVER (
+                       PARTITION BY v.element_type, v.id
+                       ORDER BY v.version) AS prev
+              FROM v JOIN f ON v.element_type = f.element_type
+                           AND v.id = f.id AND v.version <= f.version
+            ),
+            recs AS (
+              SELECT element_type, id, f_version, version, ts,
+                CASE WHEN prev IS NULL THEN len(tags_kv)
+                     ELSE len(list_filter(tags_kv, c -> NOT list_contains(
+                          {keys_of.format('prev')}, {key.format('c')}))) END AS aa,
+                CASE WHEN prev IS NULL THEN 0
+                     ELSE len(list_filter(tags_kv, c -> len(list_filter(prev,
+                          p -> {key.format('p')} = {key.format('c')}
+                               AND p != c)) > 0)) END AS am,
+                CASE WHEN prev IS NULL THEN 0
+                     ELSE len(list_filter(prev, p -> NOT list_contains(
+                          {keys_of.format('tags_kv')}, {key.format('p')}))) END AS ad
+              FROM h
+            )
+            SELECT element_type, id, CAST(f_version AS BIGINT) AS version,
+                   count(*) AS n_history,
+                   CAST(sum(version) AS BIGINT) AS sum_v,
+                   CAST(sum(ts) AS BIGINT) AS sum_ts,
+                   CAST(sum(aa) AS BIGINT) AS n_aa,
+                   CAST(sum(am) AS BIGINT) AS n_am,
+                   CAST(sum(ad) AS BIGINT) AS n_ad
+            FROM recs GROUP BY element_type, id, f_version
+        """,
+        "pages_locations": f"""
+            WITH v AS (SELECT * FROM {v_parquet}),
+            {features_cte},
+            h AS (
+              SELECT v.element_type, v.id, v.node_refs
+              FROM v JOIN f ON v.element_type = f.element_type
+                           AND v.id = f.id AND v.version <= f.version
+            ),
+            refs AS (
+              SELECT DISTINCT element_type, id, unnest(node_refs) AS node_id
+              FROM h WHERE node_refs IS NOT NULL
+            ),
+            nl AS (
+              SELECT node_id, changeset FROM (
+                SELECT id AS node_id, changeset,
+                       row_number() OVER (
+                         PARTITION BY id, changeset ORDER BY version DESC) AS rn
+                FROM v WHERE element_type = 'node')
+              WHERE rn = 1
+            ),
+            resolved AS (
+              SELECT r.element_type, r.id, r.node_id, count(*) AS n_cs
+              FROM refs r JOIN nl ON r.node_id = nl.node_id
+              GROUP BY 1, 2, 3
+            )
+            SELECT f.element_type, f.id,
+                   CAST(count(res.node_id) AS BIGINT) AS n_nodes,
+                   CAST(coalesce(sum(res.n_cs), 0) AS BIGINT) AS n_entries
+            FROM f LEFT JOIN resolved res
+              ON f.element_type = res.element_type AND f.id = res.id
+            GROUP BY f.element_type, f.id
+        """,
+        "pages_reconstruct": f"""
+            SELECT element_type, id, version, minor_version,
+                   valid_since, valid_until, geometry
+            FROM read_parquet('{_ORACLE_DIR}/pages_reconstruct_expected.parquet')
+        """,
+        "pages_tiles": f"""
+            WITH r AS (
+              SELECT element_type, id, version, minor_version,
+                     regexp_extract_all(geometry, '{coord_re}', 0) AS pts
+              FROM read_parquet('{_ORACLE_DIR}/recon_tiles_in.parquet/*.parquet')
+            ),
+            pv AS (
+              SELECT element_type, id, version, minor_version,
+                     list_transform(pts, s -> CAST(split_part(s, ',', 1) AS DOUBLE)) AS lons,
+                     list_transform(pts, s -> CAST(split_part(s, ',', 2) AS DOUBLE)) AS lats
+              FROM r WHERE len(pts) > 0
+            ),
+            g AS (
+              SELECT element_type, id, version, minor_version,
+                list_distinct(list_transform(generate_series(1, len(lons)),
+                  i -> {tx.format(lon='lons[i]')} * 65536
+                     + {ty.format(lat='lats[i]')})) AS vt,
+                {tx.format(lon='list_min(lons)')} AS x0,
+                {tx.format(lon='list_max(lons)')} AS x1,
+                {ty.format(lat='list_max(lats)')} AS y0,
+                {ty.format(lat='list_min(lats)')} AS y1
+              FROM pv
+            ),
+            g2 AS (
+              SELECT element_type, id, version, minor_version,
+                CASE WHEN (x1 - x0 + 1) * (y1 - y0 + 1) <= 256
+                     THEN list_distinct(list_concat(vt,
+                       flatten(list_transform(generate_series(x0, x1),
+                         xx -> list_transform(generate_series(y0, y1),
+                           yy -> xx * 65536 + yy)))))
+                     ELSE vt END AS tiles
+              FROM g
+            )
+            SELECT CAST(15 AS BIGINT) AS z, t // 65536 AS x, t % 65536 AS y,
+                   element_type, id, version, minor_version
+            FROM (SELECT element_type, id, version, minor_version,
+                         unnest(tiles) AS t FROM g2)
+        """,
     }
 
 
@@ -808,4 +1124,5 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
         """,
+        **_pages_oracle_sql(),
     }
