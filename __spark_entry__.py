@@ -98,6 +98,28 @@ FROM events
 """
 
 
+_KNN_SQL = f"""
+    WITH pts AS ({_EVENT_POINTS_SQL}),
+    q AS (SELECT r_regionkey AS query_id,
+                 r_regionkey * 31.0 - 60.0 AS q_lon,
+                 r_regionkey * 17.0 - 40.0 AS q_lat
+          FROM region),
+    d AS (
+      SELECT q.query_id, pts.point_id,
+             (pts.lon - q.q_lon) * (pts.lon - q.q_lon)
+           + (pts.lat - q.q_lat) * (pts.lat - q.q_lat) AS dist2_raw
+      FROM pts CROSS JOIN q
+    )
+    SELECT query_id, point_id, round(dist2_raw, 6) AS dist2,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY dist2_raw, point_id) AS rank
+      FROM d
+    ) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle-backed queries over driver tables
 
@@ -199,24 +221,21 @@ def q_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 — batched point-in-polygon via cell join + ray-cast kernel
-    (oracle: plain bbox SQL — rectangles make ray-cast ≡ bbox)."""
-    import json
-
+    (oracle: plain bbox SQL — rectangles make ray-cast ≡ bbox). The
+    rectangle GeoJSON is synthesized natively (format_string — all
+    coords are exact quarter-multiples, so %.2f round-trips them)."""
     from osm_wayback_spark.operators.spatial import point_in_polygon
 
     nation = _t(spark, sf_dir, "nation")
-
-    def rect(nk: int) -> str:
-        lon0 = (nk * 14) % 340 - 170 + 0.25
-        lat0 = (nk * 6) % 150 - 75 + 0.25
-        lon1, lat1 = lon0 + 12.5, lat0 + 5.5
-        return json.dumps(
-            [[[lon0, lat0], [lon1, lat0], [lon1, lat1], [lon0, lat1], [lon0, lat0]]]
-        )
-
-    rect_udf = F.udf(rect, "string")
+    lon0 = ((F.col("n_nationkey") * 14) % 340 - 170 + 0.25).cast("double")
+    lat0 = ((F.col("n_nationkey") * 6) % 150 - 75 + 0.25).cast("double")
+    lon1, lat1 = lon0 + 12.5, lat0 + 5.5
+    rings = F.format_string(
+        "[[[%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f]]]",
+        lon0, lat0, lon1, lat0, lon1, lat1, lon0, lat1, lon0, lat0,
+    )
     polys = nation.select(
-        F.col("n_nationkey").alias("polygon_id"), rect_udf("n_nationkey").alias("rings_json")
+        F.col("n_nationkey").alias("polygon_id"), rings.alias("rings_json")
     )
     pts = _event_points(spark, sf_dir)
     return point_in_polygon(pts, polys, res=5).select(
@@ -305,7 +324,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    out = ann_lsh(emb, queries, k=5, n_planes=8)
+    out = ann_lsh(emb, queries, k=5)
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
     )
@@ -333,8 +352,8 @@ def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-pruned kNN — the scale path (rows-only; approximate by
-    construction at ring=1)."""
+    """Cell-pruned kNN with ring auto-expansion until every query is
+    certificate-exact — shares the brute-force SQL oracle."""
     from osm_wayback_spark.operators.spatial import knn_cells
 
     region = _t(spark, sf_dir, "region")
@@ -344,7 +363,7 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_regionkey") * 17.0 - 40.0).alias("lat"),
     )
     pts = _event_points(spark, sf_dir)
-    out = knn_cells(pts, queries, k=5, res=4, ring=1)
+    out = knn_cells(pts, queries, k=5, res=4, ring=1, expand=True)
     return out.select(
         "query_id",
         "point_id",
@@ -928,26 +947,8 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             ) WHERE rank <= 5
         """,
-"knn_exact": f"""
-            WITH pts AS ({_EVENT_POINTS_SQL}),
-            q AS (SELECT r_regionkey AS query_id,
-                         r_regionkey * 31.0 - 60.0 AS q_lon,
-                         r_regionkey * 17.0 - 40.0 AS q_lat
-                  FROM region),
-            d AS (
-              SELECT q.query_id, pts.point_id,
-                     (pts.lon - q.q_lon) * (pts.lon - q.q_lon)
-                   + (pts.lat - q.q_lat) * (pts.lat - q.q_lat) AS dist2_raw
-              FROM pts CROSS JOIN q
-            )
-            SELECT query_id, point_id, round(dist2_raw, 6) AS dist2,
-                   CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY dist2_raw, point_id) AS rank
-              FROM d
-            ) WHERE rank <= 5
-        """,
+"knn_exact": _KNN_SQL,
+        "knn_cells": _KNN_SQL,
                 "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS a FROM embeddings WHERE vec_id < 5),
             scored AS (

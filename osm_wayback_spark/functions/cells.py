@@ -67,6 +67,28 @@ def cover_bbox(
     ]
 
 
+def neighbor_cells(x: Column, y: Column, res: int, ring: int = 1) -> Column:
+    """``array<long>`` of the (2·ring+1)² cell block centered on tile
+    (x, y) at ``res`` — the Column twin of ``neighbors`` below
+    (longitude wraps via pmod, y rows outside [0, 2^res) dropped).
+    Pure integer math inside whole-stage codegen: zero Python."""
+    n = 2**res
+    offs = F.sequence(F.lit(-ring), F.lit(ring))
+    return F.flatten(
+        F.transform(
+            offs,
+            lambda dx: F.transform(
+                F.filter(offs, lambda dy: ((y + dy) >= 0) & ((y + dy) < n)),
+                lambda dy: (
+                    F.lit(res * _R_SHIFT)
+                    + F.pmod(x + dx, F.lit(n)) * F.lit(_X_SHIFT)
+                    + (y + dy)
+                ).cast("long"),
+            ),
+        )
+    )
+
+
 def neighbors(cell: int, ring: int = 1) -> list[int]:
     """The (2·ring+1)² cell block centered on `cell` (kNN expansion)."""
     res, x, y = unpack_cell(cell)

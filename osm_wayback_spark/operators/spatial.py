@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.cells import DEFAULT_RES, cell_id, cover_bbox, neighbors
+from ..functions.cells import DEFAULT_RES, cell_id, cover_bbox, neighbor_cells
 
 
 # ---------------------------------------------------------------------------
@@ -196,39 +196,58 @@ def knn_brute(
     )
 
 
-def knn_exact(
-    points: DataFrame,
-    queries: DataFrame,
-    k: int,
-    res: int = DEFAULT_RES,
-    ring: int = 1,
-    point_id: str = "point_id",
-    query_id: str = "query_id",
-) -> DataFrame:
-    """EXACT kNN at scale: cell-ring candidates + a per-query
-    exactness certificate + brute-force fallback only where needed.
-
-    Certificate: if a query's k-th candidate distance is ≤ its
-    Chebyshev distance to the ring-block boundary, no point outside
-    the ring can be closer — the cell answer is provably exact.
-    Queries failing the certificate (near cell edges / sparse areas)
-    are re-answered by knn_brute; in practice that set is small, so
-    the expensive broadcast-nested-loop runs over a sliver.
-    """
-    import math as _m
-
-    approx = knn_cells(
-        points, queries, k, res, ring, point_id, query_id
-    ).cache()
-
-    n = float(2**res)
-    q = queries.select(
+def _q_frame(queries: DataFrame, query_id: str) -> DataFrame:
+    return queries.select(
         F.col(query_id).alias("query_id"),
         F.col("lon").alias("q_lon"),
         F.col("lat").alias("q_lat"),
     )
+
+
+def _p_frame(points: DataFrame, point_id: str, res: int) -> DataFrame:
+    return points.select(
+        F.col(point_id).alias("point_id"),
+        "lon",
+        "lat",
+        cell_id(F.col("lon"), F.col("lat"), res).alias("cell"),
+    )
+
+
+def _ring_topk(p: DataFrame, q: DataFrame, k: int, res: int, ring: int) -> DataFrame:
+    """top-k among the (2·ring+1)² cell-neighborhood candidates. The
+    ring expansion is pure column math (functions/cells.neighbor_cells
+    — sequence/transform/pmod, zero Python); candidates come from ONE
+    equi-join on cell."""
+    from ..functions.tiles import tile_x, tile_y
+
+    qx = tile_x(F.col("q_lon"), res)
+    qy = tile_y(F.col("q_lat"), res)
+    q_cells = q.withColumn("cell", F.explode(neighbor_cells(qx, qy, res, ring)))
+    cand = p.join(q_cells, on="cell", how="inner")
+    d2 = (F.col("lon") - F.col("q_lon")) ** 2 + (F.col("lat") - F.col("q_lat")) ** 2
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("point_id"))
+    return (
+        cand.select("query_id", "point_id", d2.alias("dist2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _certified_ids(
+    q: DataFrame, approx: DataFrame, k: int, res: int, ring: int
+) -> DataFrame:
+    """query_ids whose ring answer is PROVABLY exact: the k-th
+    candidate distance is strictly below the Chebyshev distance to the
+    ring-block boundary, so no point outside the ring can beat it
+    (strict <: a boundary tie could otherwise flip the point_id
+    tie-break vs brute force)."""
+    import math as _m
+
+    n = float(2**res)
     qx = F.floor((F.col("q_lon") + 180.0) / 360.0 * n)
-    rad = F.radians(F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), F.col("q_lat"))))
+    rad = F.radians(
+        F.greatest(F.lit(-85.05112878), F.least(F.lit(85.05112878), F.col("q_lat")))
+    )
     merc = F.log(F.tan(rad) + 1.0 / F.cos(rad))
     qy = F.floor((1.0 - merc / _m.pi) / 2.0 * n)
 
@@ -246,26 +265,42 @@ def knn_exact(
         north - F.col("q_lat"),
     )
     qb = q.withColumn("_bound2", boundary * boundary)
-
     kth = approx.groupBy("query_id").agg(
         F.count("*").alias("_n"), F.max("dist2").alias("_kth")
     )
-    # strict <: a candidate EXACTLY on the ring boundary could tie
-    # with a point just outside it, and the point_id tie-break would
-    # then differ from knn_brute — ties fall back to brute force.
-    verdict = qb.join(kth, on="query_id", how="left").select(
-        "query_id",
-        ((F.col("_n") >= k) & (F.col("_kth") < F.col("_bound2"))).alias("_exact"),
+    return (
+        qb.join(kth, on="query_id", how="left")
+        .filter((F.col("_n") >= k) & (F.col("_kth") < F.col("_bound2")))
+        .select("query_id")
     )
-    exact_ids = verdict.filter(F.col("_exact"))
+
+
+def knn_exact(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int = DEFAULT_RES,
+    ring: int = 1,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """EXACT kNN at scale: cell-ring candidates + a per-query
+    exactness certificate + brute-force fallback only where needed.
+
+    Queries failing the certificate (near cell edges / sparse areas)
+    are re-answered by knn_brute; in practice that set is small, so
+    the expensive broadcast-nested-loop runs over a sliver.
+    """
+    p = _p_frame(points, point_id, res)
+    q = _q_frame(queries, query_id)
+    approx = _ring_topk(p, q, k, res, ring).cache()
+    exact_ids = _certified_ids(q, approx, k, res, ring)
     fallback_q = queries.join(
         exact_ids.select(F.col("query_id").alias(query_id)),
         on=query_id,
         how="left_anti",
     )
-    exact_part = approx.join(
-        exact_ids.select("query_id"), on="query_id", how="inner"
-    )
+    exact_part = approx.join(exact_ids, on="query_id", how="inner")
     brute_part = knn_brute(points, fallback_q, k, point_id, query_id)
     return exact_part.unionByName(brute_part)
 
@@ -278,32 +313,46 @@ def knn_cells(
     ring: int = 1,
     point_id: str = "point_id",
     query_id: str = "query_id",
+    expand: bool = False,
+    max_rounds: int = 5,
 ) -> DataFrame:
-    """Cell-pruned approximate kNN: candidates limited to the query's
-    (2·ring+1)² cell neighborhood, then exact top-k among candidates.
-    Equi-join on cell — the scale path when |queries| is large.
-    Queries whose neighborhood holds < k points return fewer rows
-    (callers widen `ring` or fall back to knn_brute for those).
+    """Cell-pruned kNN — the scale path when |queries| is large
+    (equi-join on cell instead of a broadcast nested loop).
+
+    ``expand=False``: one ring pass; exact top-k among the
+    neighborhood candidates, queries whose neighborhood holds < k
+    points return fewer rows (documented approximation).
+
+    ``expand=True``: EXACT — the ring doubles per round until every
+    query carries the boundary certificate (``_certified_ids``), with
+    a knn_brute sweep for any stragglers after ``max_rounds``. Each
+    round re-joins only the still-uncertified queries, so the work
+    per round shrinks; the per-round isEmpty() is a driver action on
+    the (small) query side only.
     """
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col("lon").alias("q_lon"),
-        F.col("lat").alias("q_lat"),
-        cell_id(F.col("lon"), F.col("lat"), res).alias("q_cell"),
-    )
-    ring_udf = F.udf(lambda c: neighbors(c, ring), "array<long>")
-    q_cells = q.withColumn("cell", F.explode(ring_udf("q_cell"))).drop("q_cell")
-    p = points.select(
-        F.col(point_id).alias("point_id"),
-        "lon",
-        "lat",
-        cell_id(F.col("lon"), F.col("lat"), res).alias("cell"),
-    )
-    cand = p.join(q_cells, on="cell", how="inner")
-    d2 = (F.col("lon") - F.col("q_lon")) ** 2 + (F.col("lat") - F.col("q_lat")) ** 2
-    w = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("point_id"))
-    return (
-        cand.select("query_id", "point_id", d2.alias("dist2"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    p = _p_frame(points, point_id, res)
+    q_all = _q_frame(queries, query_id)
+    if not expand:
+        return _ring_topk(p, q_all, k, res, ring)
+
+    out: DataFrame | None = None
+    remaining = q_all
+    r = ring
+    for _ in range(max_rounds):
+        approx = _ring_topk(p, remaining, k, res, r).cache()
+        cert = _certified_ids(remaining, approx, k, res, r)
+        good = approx.join(cert, on="query_id", how="inner")
+        out = good if out is None else out.unionByName(good)
+        remaining = remaining.join(cert, on="query_id", how="left_anti")
+        if remaining.isEmpty():
+            remaining = None
+            break
+        r *= 2
+    if remaining is not None:
+        brute_q = remaining.select(
+            F.col("query_id").alias(query_id),
+            F.col("q_lon").alias("lon"),
+            F.col("q_lat").alias("lat"),
+        )
+        out = out.unionByName(knn_brute(points, brute_q, k, point_id, query_id))
+    return out

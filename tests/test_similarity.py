@@ -60,3 +60,24 @@ def test_ann_lsh_reasonable_recall(spark, emb):
     # and every returned neighbor shares the query's bucket by construction
     for q, vs in approx.items():
         assert q not in vs
+
+
+def test_ann_lsh_recall_at_k_and_no_empty(spark):
+    """Recall accountability (VERDICT r1): multiprobe ann_lsh must
+    reach recall@5 >= 0.8 vs cosine_topk on the driver embeddings at
+    sf0.01, and the starved-query fallback must guarantee exactly k
+    results per query."""
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = df.filter("vec_id < 20")
+    k = 5
+    exact = {}
+    for r in cosine_topk(df, queries, k=k).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = {}
+    for r in ann_lsh(df, queries, k=k).collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    # no-empty guarantee: every query answered with exactly k rows
+    assert set(approx) == set(exact)
+    assert all(len(v) == k for v in approx.values())
+    recall = sum(len(exact[q] & approx[q]) for q in exact) / (len(exact) * k)
+    assert recall >= 0.8, f"recall@{k} = {recall}"
