@@ -550,15 +550,12 @@ def q_pages_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pages_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1/J4 — full reconstruction, hash-compared against an expected
-    table computed by the DRIVER-SIDE oracle path (tests/oracle.py:
-    row-at-a-time re-execution of the reference stages, no Spark), so
-    the whole distributed plumbing (extraction, joins, re-nesting,
-    Arrow kernel) is verified end-to-end."""
+def _write_reconstruct_expected(sf_dir: str) -> None:
+    """Materialize the DRIVER-SIDE oracle's reconstruction output
+    (tests/oracle.py: row-at-a-time re-execution of the reference
+    stages, no Spark) as the expected table for DuckDB."""
     import os
 
-    from osm_wayback_spark import pipeline
     from osm_wayback_spark.operators.reconstruction import rows_for_feature
     from osm_wayback_spark.synth import sf_from_dir
     from tests.oracle import (
@@ -568,7 +565,6 @@ def q_pages_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         node_locations_oracle,
     )
 
-    # expected side: pure-Python re-execution, written for DuckDB
     versions, locs, features = build_index(extract_all(sf_from_dir(sf_dir)))
     histories = add_history_oracle(versions, features)
     nested = node_locations_oracle(histories, features, locs)
@@ -605,6 +601,15 @@ def q_pages_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_ORACLE_DIR}/pages_reconstruct_expected.parquet",
     )
 
+
+def q_pages_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/J4 — full reconstruction, hash-compared against the
+    driver-side oracle's expected table, so the whole distributed
+    plumbing (extraction, joins, re-nesting, Arrow kernel) is
+    verified end-to-end."""
+    from osm_wayback_spark import pipeline
+
+    _write_reconstruct_expected(sf_dir)
     out = pipeline.reconstruction_pipeline(_pages(spark, sf_dir))
     return out.select(
         "element_type",
@@ -655,6 +660,32 @@ def q_pages_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pages_topojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/D3 — WRITE_TOPOJSON_HISTORY over the full pipeline: one row
+    per feature carrying the TopoJSON-encoded history. Oracle: the
+    per-feature version count must equal the driver-side oracle's
+    per-feature row count (the topology objects are exactly the
+    WRITE_EVERY_GEOMETRY features, keyed "0"..n-1)."""
+    from osm_wayback_spark import pipeline
+    from osm_wayback_spark.operators.history import add_history
+    from osm_wayback_spark.operators.locations import add_node_locations
+    from osm_wayback_spark.operators.reconstruction import reconstruct_objects
+    from osm_wayback_spark.sources.extract import (
+        features_from_versions,
+        node_locations_from_versions,
+    )
+
+    _write_reconstruct_expected(sf_dir)
+    t = pipeline.build_tables(_pages(spark, sf_dir))
+    geom = add_node_locations(
+        add_history(t["features"], t["versions"]), t["node_locations"]
+    )
+    out = reconstruct_objects(geom, mode="topojson")
+    return out.select(
+        "element_type", "id", F.col("n_versions").cast("long").alias("n_versions")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -693,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_locations": q_pages_locations,
         "pages_reconstruct": q_pages_reconstruct,
         "pages_tiles": q_pages_tiles,
+        "pages_topojson": q_pages_topojson,
     }
 
 
@@ -795,6 +827,11 @@ def _pages_oracle_sql() -> dict[str, str]:
             FROM f LEFT JOIN resolved res
               ON f.element_type = res.element_type AND f.id = res.id
             GROUP BY f.element_type, f.id
+        """,
+        "pages_topojson": f"""
+            SELECT element_type, id, count(*) AS n_versions
+            FROM read_parquet('{_ORACLE_DIR}/pages_reconstruct_expected.parquet')
+            GROUP BY element_type, id
         """,
         "pages_reconstruct": f"""
             SELECT element_type, id, version, minor_version,

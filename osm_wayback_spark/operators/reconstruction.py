@@ -167,3 +167,114 @@ def reconstruct(
             yield pd.DataFrame(cols, columns=out_cols)
 
     return prepared.mapInPandas(kernel, schema=out_schema)
+
+
+def build_history_object(
+    element_type: str,
+    osm_id: int,
+    geometry: dict | None,
+    history: list | None,
+    node_locations: dict | None,
+    config: dict | None = None,
+) -> tuple[dict, list[dict]]:
+    """(base object, newHistoryObject) — the whole-object output
+    shapes of map-geom-reconstruction.js:230-275: the input feature
+    with nodeLocations/@way_nodes stripped, plus the per-version
+    feature array that WRITE_EVERY_GEOMETRY would emit line-wise."""
+    feats = reconstruct_feature(
+        element_type, osm_id, geometry, history, node_locations, config
+    )
+    obj = {
+        "type": "Feature",
+        "geometry": geometry,
+        "properties": {"@type": element_type, "@id": osm_id},
+    }
+    return obj, feats
+
+
+def reconstruct_objects(
+    with_locations: DataFrame,
+    mode: str = "complete",
+    config: dict | None = None,
+    quantization: int | None = None,
+    target_partitions: int | None = None,
+) -> DataFrame:
+    """The reference's other two stage-4 output modes (D3), one row
+    per FEATURE (not per version):
+
+    - ``mode="complete"`` ≙ WRITE_HISTORY_COMPLETE_OBJECT
+      (map-geom-reconstruction.js:249-254): the written line is
+      ``JSON.stringify(newHistoryObject)`` — the per-version feature
+      ARRAY — and the base object gets
+      ``properties['@histrory'] = <that string>`` (the reference's
+      typo, preserved verbatim).
+    - ``mode="topojson"`` ≙ WRITE_TOPOJSON_HISTORY
+      (map-geom-reconstruction.js:257-275): the base object gets
+      ``properties['@history'] = JSON.stringify(topojson.topology(
+      newHistoryObject))`` and the written line is the stringified
+      base object.
+
+    → (element_type, id, line_json, object_json, n_versions).
+    """
+    if mode not in ("complete", "topojson"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    if target_partitions is None:
+        sc = with_locations.sparkSession.sparkContext
+        target_partitions = max(sc.defaultParallelism * 2, 8)
+    prepared = with_locations.repartition(target_partitions).select(
+        "element_type", "id", "geometry", "history", "node_locations"
+    )
+
+    from ..sources.sinks import to_topojson_history
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "element_type": [], "id": [], "line_json": [],
+                "object_json": [], "n_versions": [],
+            }
+            for et, oid, gj, hist, nl in zip(
+                pdf["element_type"], pdf["id"], pdf["geometry"],
+                pdf["history"], pdf["node_locations"],
+            ):
+                geometry = json.loads(gj) if gj else None
+                obj, feats = build_history_object(
+                    et, int(oid), geometry, hist, nl, config
+                )
+                if not feats:
+                    continue  # status.noHistory: original line re-emitted
+                if mode == "complete":
+                    s = json.dumps(
+                        feats, separators=(",", ":"), default=_np_default
+                    )
+                    obj["properties"]["@histrory"] = s  # sic — the typo
+                    line = s
+                else:
+                    obj["properties"]["@history"] = to_topojson_history(
+                        feats, quantization
+                    )
+                    line = json.dumps(
+                        obj, separators=(",", ":"), default=_np_default
+                    )
+                cols["element_type"].append(et)
+                cols["id"].append(int(oid))
+                cols["line_json"].append(line)
+                cols["object_json"].append(
+                    json.dumps(obj, separators=(",", ":"), default=_np_default)
+                )
+                cols["n_versions"].append(len(feats))
+            yield pd.DataFrame(
+                cols,
+                columns=[
+                    "element_type", "id", "line_json", "object_json",
+                    "n_versions",
+                ],
+            )
+
+    return prepared.mapInPandas(
+        kernel,
+        schema=(
+            "element_type string, id long, line_json string, "
+            "object_json string, n_versions int"
+        ),
+    )

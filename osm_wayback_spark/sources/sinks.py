@@ -53,15 +53,24 @@ def write_geojsonseq(df: DataFrame, path: str, json_col: str = "feature_json") -
     df.select(F.col(json_col).alias("value")).write.mode("overwrite").text(path)
 
 
-def to_topojson_history(features: list[dict]) -> str:
-    """Reference parity point for WRITE_TOPOJSON_HISTORY
-    (map-geom-reconstruction.js:257-275). A faithful implementation
-    needs a TopoJSON topology encoder (arc extraction + quantization);
-    none is available in this environment — plug one in here and wire
-    it through reconstruct(config={'WRITE_TOPOJSON_HISTORY': True})."""
-    raise NotImplementedError(
-        "TopoJSON topology encoding requires a topojson library; "
-        "not available in this environment"
+def to_topojson_history(
+    features: list[dict], quantization: int | None = None
+) -> str:
+    """WRITE_TOPOJSON_HISTORY encoding (map-geom-reconstruction.js:
+    257-275): ``topojson.topology(newHistoryObject)`` over the
+    per-version history FEATURE ARRAY (the reference passes the array
+    itself, so objects are keyed "0", "1", … — reproduced). The
+    encoder is the pure-Python topology implementation in
+    functions/topojson.py; the reference passes no quantization."""
+    import json
+
+    from ..functions.topojson import topology
+
+    return json.dumps(
+        topology(features, quantization),
+        separators=(",", ":"),
+        # Arrow-native inputs carry coordinates as numpy arrays
+        default=lambda o: o.tolist(),
     )
 
 

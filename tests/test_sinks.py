@@ -38,9 +38,11 @@ def test_write_geojsonseq_roundtrip(spark, tmp_path):
     assert lines == [{"type": "Feature", "properties": {"@id": 1}}]
 
 
-def test_topojson_stubbed():
-    with pytest.raises(NotImplementedError):
-        to_topojson_history([])
+def test_topojson_empty_history():
+    import json
+
+    t = json.loads(to_topojson_history([]))
+    assert t == {"type": "Topology", "objects": {}, "arcs": []}
 
 
 def test_observed_counts(spark):

@@ -1,0 +1,150 @@
+"""F7 + D3 — TopoJSON topology encoder goldens (hand-derived) and the
+two whole-object output modes (WRITE_HISTORY_COMPLETE_OBJECT with the
+@histrory typo, WRITE_TOPOJSON_HISTORY)."""
+
+import json
+
+from osm_wayback_spark.functions.topojson import topology
+from osm_wayback_spark.sources.sinks import to_topojson_history
+
+
+def _line(coords, version=1):
+    return {
+        "type": "Feature",
+        "properties": {"@version": version},
+        "geometry": {"type": "LineString", "coordinates": coords},
+    }
+
+
+def test_identical_versions_share_one_arc():
+    t = topology([_line([[0, 0], [1, 0], [2, 0]], 1),
+                  _line([[0, 0], [1, 0], [2, 0]], 2)])
+    assert t["type"] == "Topology"
+    assert t["arcs"] == [[[0, 0], [1, 0], [2, 0]]]
+    assert t["objects"]["0"]["arcs"] == [0]
+    assert t["objects"]["1"]["arcs"] == [0]
+    assert t["objects"]["1"]["properties"] == {"@version": 2}
+    assert t["bbox"] == [0, 0, 2, 0]
+
+
+def test_reversed_version_references_complement():
+    t = topology([_line([[0, 0], [1, 0], [2, 0]]),
+                  _line([[2, 0], [1, 0], [0, 0]])])
+    assert t["arcs"] == [[[0, 0], [1, 0], [2, 0]]]
+    assert t["objects"]["0"]["arcs"] == [0]
+    assert t["objects"]["1"]["arcs"] == [~0]  # -1
+
+
+def test_shared_subpath_cuts_at_junctions():
+    t = topology([_line([[0, 0], [1, 0], [2, 0]]),
+                  _line([[1, 0], [2, 0], [3, 0]])])
+    # endpoints of both lines are junctions → three arcs, middle shared
+    assert t["arcs"] == [
+        [[0, 0], [1, 0]],
+        [[1, 0], [2, 0]],
+        [[2, 0], [3, 0]],
+    ]
+    assert t["objects"]["0"]["arcs"] == [0, 1]
+    assert t["objects"]["1"]["arcs"] == [1, 2]
+
+
+def test_interior_junction_from_diverging_neighbor():
+    # v2 shares (1,0) but with a different continuation → junction at it
+    t = topology([_line([[0, 0], [1, 0], [2, 0]]),
+                  _line([[0, 0], [1, 0], [1, 1]])])
+    assert t["objects"]["0"]["arcs"] == [0, 1]
+    assert t["objects"]["1"]["arcs"] == [0, 2]
+    assert t["arcs"][0] == [[0, 0], [1, 0]]
+
+
+def test_point_feature_keeps_coordinates():
+    t = topology([{
+        "type": "Feature",
+        "properties": {"@version": 1},
+        "geometry": {"type": "Point", "coordinates": [5.5, -3.25]},
+    }])
+    assert t["objects"]["0"] == {
+        "type": "Point",
+        "coordinates": [5.5, -3.25],
+        "properties": {"@version": 1},
+    }
+    assert t["arcs"] == []
+
+
+def test_rotated_ring_dedups():
+    sq1 = [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+    sq2 = [[1, 1], [0, 1], [0, 0], [1, 0], [1, 1]]  # rotation of sq1
+    t = topology([
+        {"type": "Feature", "properties": {"v": 1},
+         "geometry": {"type": "Polygon", "coordinates": [sq1]}},
+        {"type": "Feature", "properties": {"v": 2},
+         "geometry": {"type": "Polygon", "coordinates": [sq2]}},
+    ])
+    assert len(t["arcs"]) == 1
+    assert t["objects"]["0"]["arcs"] == [[0]]
+    assert t["objects"]["1"]["arcs"] == [[0]]
+
+
+def test_quantization_transform_and_delta():
+    t = topology([_line([[0.0, 0.0], [10.0, 10.0]])], quantization=11)
+    assert t["transform"] == {"scale": [1.0, 1.0], "translate": [0.0, 0.0]}
+    # delta-encoded: absolute first point, then deltas
+    assert t["arcs"] == [[[0, 0], [10, 10]]]
+
+
+def test_to_topojson_history_is_json():
+    s = to_topojson_history([_line([[0, 0], [1, 1]])])
+    parsed = json.loads(s)
+    assert parsed["type"] == "Topology"
+    assert parsed["objects"]["0"]["type"] == "LineString"
+
+
+def test_reconstruct_objects_modes(spark):
+    from osm_wayback_spark import pipeline
+    from osm_wayback_spark.operators.history import add_history
+    from osm_wayback_spark.operators.locations import add_node_locations
+    from osm_wayback_spark.operators.reconstruction import reconstruct_objects
+    from osm_wayback_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 0.001)
+    t = pipeline.build_tables(pages)
+    geom = add_node_locations(
+        add_history(t["features"], t["versions"]), t["node_locations"]
+    )
+    complete = reconstruct_objects(geom, mode="complete").collect()
+    assert complete
+    for r in complete[:20]:
+        obj = json.loads(r.object_json)
+        # the reference's typo'd property, verbatim (js:251)
+        assert "@histrory" in obj["properties"]
+        feats = json.loads(r.line_json)
+        assert isinstance(feats, list) and len(feats) == r.n_versions
+        assert obj["properties"]["@histrory"] == r.line_json
+        assert all(f["type"] == "Feature" for f in feats)
+
+    topo = reconstruct_objects(geom, mode="topojson").collect()
+    by_key = {(r.element_type, r.id): r for r in topo}
+    assert set(by_key) == {(r.element_type, r.id) for r in complete}
+    n_ways = 0
+    for r in topo:
+        obj = json.loads(r.object_json)
+        assert r.line_json == json.dumps(obj, separators=(",", ":"))
+        t2 = json.loads(obj["properties"]["@history"])
+        assert t2["type"] == "Topology"
+        assert len(t2["objects"]) == r.n_versions
+        if r.element_type == "way" and r.n_versions > 1:
+            n_ways += 1
+            # shared geometry across versions must dedup into fewer
+            # arc points than the raw per-version total
+            assert len(t2["arcs"]) >= 1
+    assert n_ways > 0
+
+    # per-feature version counts agree with WRITE_EVERY_GEOMETRY rows
+    every = pipeline.reconstruct(geom)
+    per_feat = {
+        (r.element_type, r.id): r.n
+        for r in every.groupBy("element_type", "id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    for r in complete:
+        assert per_feat[(r.element_type, r.id)] == r.n_versions
