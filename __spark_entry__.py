@@ -37,9 +37,15 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_wayback_spark.synth import sf_from_dir, synth_pages
 
     sf = sf_from_dir(sf_dir)
-    cache = f"/root/repo/.cache/pages_sf{sf}"
+    # _s: caches are written globally sorted by (url, warc_ts) — the
+    # natural crawl layout. Benefits at scale: runs of one url share
+    # column prefixes (better parquet encodings) and any url/ts
+    # predicate prunes row groups via min/max stats.
+    cache = f"/root/repo/.cache/pages_sf{sf}_s"
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-        synth_pages(spark, sf).write.mode("overwrite").parquet(cache)
+        synth_pages(spark, sf).orderBy("url", "warc_ts").write.mode(
+            "overwrite"
+        ).parquet(cache)
     return spark.read.parquet(cache)
 
 
@@ -325,6 +331,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     out = ann_lsh(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means + nprobe) approximate nearest neighbors — rows-only
+    (approximate by construction; recall floor pytest-enforced)."""
+    from osm_wayback_spark.operators.similarity import ann_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = ann_ivf(emb, queries, k=5, n_centroids=16, nprobe=6)
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
     )
@@ -713,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "knn_exact": q_knn_exact,
         "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,

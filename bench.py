@@ -60,9 +60,11 @@ SCALE_SF = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE_SF", "1.6"))
 def _scale_pages(spark):
     from osm_wayback_spark.synth import synth_pages
 
-    cache = f"/root/repo/.cache/pages_sf{SCALE_SF}"
+    cache = f"/root/repo/.cache/pages_sf{SCALE_SF}_s"
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-        synth_pages(spark, SCALE_SF).write.mode("overwrite").parquet(cache)
+        synth_pages(spark, SCALE_SF).orderBy("url", "warc_ts").write.mode(
+            "overwrite"
+        ).parquet(cache)
     return spark.read.parquet(cache)
 
 

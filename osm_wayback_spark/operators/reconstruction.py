@@ -164,7 +164,10 @@ def reconstruct(
                 ):
                     for c in out_cols:
                         cols[c].append(row[c])
-            yield pd.DataFrame(cols, columns=out_cols)
+            if cols["element_type"]:
+                yield pd.DataFrame(cols, columns=out_cols)
+            # else: skip — an all-empty batch would materialize
+            # float64 columns that Arrow can't cast to map/array types
 
     return prepared.mapInPandas(kernel, schema=out_schema)
 
@@ -263,13 +266,14 @@ def reconstruct_objects(
                     json.dumps(obj, separators=(",", ":"), default=_np_default)
                 )
                 cols["n_versions"].append(len(feats))
-            yield pd.DataFrame(
-                cols,
-                columns=[
-                    "element_type", "id", "line_json", "object_json",
-                    "n_versions",
-                ],
-            )
+            if cols["element_type"]:
+                yield pd.DataFrame(
+                    cols,
+                    columns=[
+                        "element_type", "id", "line_json", "object_json",
+                        "n_versions",
+                    ],
+                )
 
     return prepared.mapInPandas(
         kernel,

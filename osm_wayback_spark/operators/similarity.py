@@ -3,9 +3,16 @@
 - ``cosine_topk``: exact brute-force top-k for a broadcast query set —
   the correctness baseline. Dot products via native higher-order
   functions (zip_with + aggregate): stays JVM-side.
-- ``ann_lsh``: random-hyperplane LSH bucketing — the scale path. The
-  hyperplanes are derived deterministically from md5 so every executor
-  (and a re-run) builds identical planes without shipping state.
+- ``ann_lsh``: random-hyperplane LSH (multi-table + multiprobe) — the
+  high-recall scale path. Hyperplanes are derived deterministically
+  from md5 so every executor (and a re-run) builds identical planes
+  without shipping state.
+- ``ann_ivf``: inverted-file ANN (Spark-native Lloyd k-means coarse
+  quantizer + nprobe cell search) — the second scale path; candidate
+  volume is bounded by nprobe/n_centroids of the corpus.
+
+Both approximate paths guarantee k results per query (exact fallback
+for starved queries) and carry pytest recall gates vs cosine_topk.
 """
 
 from __future__ import annotations
@@ -196,5 +203,134 @@ def ann_lsh(
     )
     full = approx.join(
         counts.filter(F.col("_n") >= k).select("query_id"), on="query_id"
+    )
+    return full.unionByName(cosine_topk(embeddings, starved, k))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path: k-means coarse
+# quantizer + nprobe cell search. Complements LSH: better recall per
+# candidate when the corpus is clustered, and the centroid count
+# directly controls the join fan-out.
+
+def _init_centroids(embeddings: DataFrame, n_centroids: int) -> np.ndarray:
+    """Deterministic init: the n vectors with the smallest
+    md5(vec_id) — spread pseudo-randomly, identical on re-runs."""
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.array([list(r.embedding) for r in rows], dtype=np.float64)
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Lloyd's k-means, Spark-native: per iteration one pass assigns
+    every vector to its nearest centroid (vectorized Arrow matmul),
+    then a posexplode + groupBy computes per-dimension means — the
+    only driver traffic is the (n_centroids × dim) table. At 100 TB
+    train on a sample (``sample_fraction``); assignment stays exact.
+    """
+    data = embeddings
+    if sample_fraction:
+        data = data.sample(fraction=sample_fraction, seed=42)
+    centroids = _init_centroids(data, n_centroids)
+    for _ in range(iters):
+        assigned = with_ivf_cell(data, centroids)
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in means:
+            new[r.cell, r.dim] = r.m
+        centroids = new
+    return centroids
+
+
+def with_ivf_cell(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """+ ``cell``: index of the nearest centroid (L2), one Arrow
+    matmul per batch; centroids ship in the task closure (small)."""
+    cent = centroids.astype(np.float64)
+    cnorm2 = (cent * cent).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell_udf(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        # argmin ||x-c||² = argmin (||c||² - 2 x·c)
+        scores = cnorm2[None, :] - 2.0 * (mat @ cent.T)
+        return pd.Series(scores.argmin(axis=1).astype("int32"))
+
+    return embeddings.withColumn("cell", cell_udf("embedding"))
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    centroids: np.ndarray | None = None,
+    fallback: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: candidates restricted to the query's
+    ``nprobe`` nearest centroid cells (equi-join on cell), exact
+    cosine re-rank within. → (query_id, vec_id, cosine, rank).
+    Pass precomputed ``centroids`` to skip training (production: train
+    once on a sample, reuse). ``fallback`` guarantees k results per
+    query via the exact broadcast path."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_centroids, iters)
+    cent = centroids.astype(np.float64)
+    cnorm2 = (cent * cent).sum(axis=1)
+    n_probe = min(nprobe, len(cent))
+
+    c = with_ivf_cell(embeddings, centroids).select(
+        "vec_id", "cell", F.col("embedding").alias("b_emb")
+    )
+
+    @pandas_udf("array<int>")
+    def probe_udf(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="object")
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        scores = cnorm2[None, :] - 2.0 * (mat @ cent.T)
+        order = np.argsort(scores, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("a_emb"),
+        F.explode(probe_udf("embedding")).alias("cell"),
+    )
+    cand = c.join(q, on="cell").filter(F.col("vec_id") != F.col("query_id"))
+    scored = with_cosine(cand).select("query_id", "vec_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    if not fallback:
+        return approx
+    counts = approx.groupBy("query_id").agg(F.count("*").alias("_n"))
+    full = approx.join(
+        counts.filter(F.col("_n") >= k).select("query_id"), on="query_id"
+    )
+    starved = queries.join(
+        counts.filter(F.col("_n") >= k).select(F.col("query_id").alias("vec_id")),
+        on="vec_id",
+        how="left_anti",
     )
     return full.unionByName(cosine_topk(embeddings, starved, k))

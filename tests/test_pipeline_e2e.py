@@ -82,3 +82,48 @@ def test_minor_versions_exist(oracle_outputs):
         if json.loads(f)["properties"].get("@minorVersion", 0) > 0
     )
     assert n_minor > 10
+
+
+def test_reconstruct_tolerates_all_empty_batches(spark):
+    """A kernel batch where every feature yields zero output rows
+    (e.g. a sorted-corpus slice of noHistory features) must not break
+    the pandas→Arrow conversion (empty float64 columns can't cast to
+    map/array types) — regression for the sorted-cache bench crash."""
+    from pyspark.sql import types as T
+
+    from osm_wayback_spark.operators.reconstruction import reconstruct
+    from osm_wayback_spark.schemas import HISTORY_RECORD
+
+    schema = T.StructType(
+        [
+            T.StructField("element_type", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("geometry", T.StringType()),
+            T.StructField("history", T.ArrayType(HISTORY_RECORD)),
+            T.StructField(
+                "node_locations",
+                T.MapType(
+                    T.LongType(),
+                    T.MapType(
+                        T.LongType(),
+                        T.StructType(
+                            [
+                                T.StructField("p", T.ArrayType(T.DoubleType())),
+                                T.StructField("i", T.IntegerType()),
+                                T.StructField("u", T.IntegerType()),
+                                T.StructField("h", T.StringType()),
+                                T.StructField("t", T.LongType()),
+                            ]
+                        ),
+                    ),
+                ),
+            ),
+        ]
+    )
+    rows = [("way", 1, '{"type":"LineString","coordinates":[]}', [], None)]
+    geom = spark.createDataFrame(rows, schema)
+    assert reconstruct(geom, target_partitions=2).count() == 0
+    assert (
+        reconstruct(geom, target_partitions=2, with_feature_json=True).count()
+        == 0
+    )

@@ -81,3 +81,36 @@ def test_ann_lsh_recall_at_k_and_no_empty(spark):
     assert all(len(v) == k for v in approx.values())
     recall = sum(len(exact[q] & approx[q]) for q in exact) / (len(exact) * k)
     assert recall >= 0.8, f"recall@{k} = {recall}"
+
+
+def test_ann_ivf_recall_and_no_empty(spark):
+    """IVF variant: recall@5 floor + guaranteed-k fallback on the
+    driver embeddings (weakly clustered synthetic corpus — LSH is the
+    high-recall path; IVF trades recall for a bounded nprobe/n_cells
+    candidate ratio)."""
+    from osm_wayback_spark.operators.similarity import ann_ivf
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = df.filter("vec_id < 20")
+    k = 5
+    exact = {}
+    for r in cosine_topk(df, queries, k=k).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = {}
+    for r in ann_ivf(df, queries, k=k, n_centroids=16, nprobe=6).collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(approx) == set(exact)
+    assert all(len(v) == k for v in approx.values())
+    recall = sum(len(exact[q] & approx[q]) for q in exact) / (len(exact) * k)
+    assert recall >= 0.55, f"recall@{k} = {recall}"
+
+
+def test_ivf_centroids_deterministic(spark):
+    from osm_wayback_spark.operators.similarity import train_ivf_centroids
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import numpy as np
+
+    a = train_ivf_centroids(df, n_centroids=4, iters=2)
+    b = train_ivf_centroids(df.repartition(7), n_centroids=4, iters=2)
+    assert np.allclose(a, b)
