@@ -42,7 +42,12 @@ _DEFAULTS = {
     # Timestamps in the synthetic data are naive; keep them stable.
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # Local-mode heap: the driver JVM hosts every executor thread, so
+    # it needs executor-scale memory. 8g GC-throttled the scaling
+    # bench ~2-3× at 2M+ pages (persist + 16 concurrent tasks); 24g
+    # removes the cliff on this 128 GiB host. On a real cluster this
+    # knob is irrelevant — spark-submit sets executor memory.
+    "spark.driver.memory": "24g",
 }
 
 
