@@ -391,6 +391,48 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH candidate pairs → connected
+    components (iterative min-label propagation) → every document
+    labeled with its cluster + canonical flag. Oracle: DuckDB
+    recursive CTE over the same pairs."""
+    from osm_wayback_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes=8), num_hashes=8, bands=4
+    )
+    return dedup_clusters(docs, pairs)
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus quality gate: keep documents that clear token
+    count, language and quality-score thresholds (the composition a
+    data pipeline runs before tokenization)."""
+    from osm_wayback_spark.functions.text import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return scored.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.3)
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_wayback_spark.functions.text import (
         fingerprint,
@@ -736,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact": q_knn_exact,
         "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_filter": q_corpus_filter,
         "token_stats_bpe": q_token_stats_bpe,
         "embedding_near_dup": q_embedding_near_dup,
         "pricing_summary": q_pricing_summary,
@@ -921,7 +965,7 @@ def oracle_sql() -> dict[str, str]:
                             i -> array_to_string(words[i:i+2], ' '))
         ELSE [array_to_string(words, ' ')] END)
     """
-    return {
+    sql = {
         "snapshot_latest": """
             SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
                    round(value, 6) AS value
@@ -1184,3 +1228,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         **_pages_oracle_sql(),
     }
+    # derived oracles (reuse the bodies above verbatim)
+    sql["corpus_filter"] = f"""
+        SELECT doc_id, n_tokens, lang_pred, quality
+        FROM ({sql['text_stats']})
+        WHERE n_tokens >= 5 AND lang_pred = 'en' AND quality >= 0.3
+    """
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, unnest({shingles3}) AS shingle
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents)
+        ),
+        sigs AS (
+          SELECT doc_id,
+            {', '.join(f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(8))}
+          FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+          {' UNION ALL '.join(
+              f"SELECT doc_id, {b} AS band, md5(sig_{2 * b} || '|' || sig_{2 * b + 1}) AS bh FROM sigs"
+              for b in range(4))}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        r(node, lab) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN r ON e.b = r.node
+        ),
+        comp AS (SELECT node, min(lab) AS component FROM r GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS component,
+               d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+    return sql

@@ -248,3 +248,75 @@ def simhash_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING: undirected candidate pairs →
+    (node, component) with component = min node id reachable.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    (component diameter) rounds — near-dup clusters are shallow, and
+    ``max_iters`` bounds the pathological chain. Each round is one
+    join + one groupBy on the node id; the per-round driver action is
+    a single converged-count. (At planet scale swap in the
+    large-star/small-star contraction — same invariant, O(log n)
+    rounds — this simple form keeps the DuckDB recursive-CTE oracle
+    exact.)
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        # localCheckpoint: cut the exponentially-growing lineage so
+        # each round's plan stays O(1)
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """→ (doc_id, component, is_canonical): every document labeled
+    with its near-dup cluster (singletons are their own component);
+    the min doc_id per cluster is canonical — the row a training-data
+    pipeline keeps."""
+    comp = connected_components(pairs)
+    return (
+        documents.select("doc_id")
+        .join(comp, documents.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+        .withColumn(
+            "is_canonical", (F.col("doc_id") == F.col("component"))
+        )
+    )

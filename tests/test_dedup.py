@@ -91,3 +91,39 @@ def test_simhash_near_dups_closer(docs):
     assert ham(sims[1], sims[3]) < ham(sims[1], sims[4])
     pairs = {(r.doc_a, r.doc_b) for r in simhash_pairs(simhash(docs)).collect()}
     assert (1, 2) in pairs
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from osm_wayback_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
+    rows = {r.doc_id: (r.component, r.is_canonical)
+            for r in dedup_clusters(docs, pairs).collect()}
+    assert rows[99] == (99, True)  # singleton: own component, canonical
+    assert rows[4] == (1, False)
+    assert rows[1] == (1, True)
+
+
+def test_connected_components_converges_under_max_iters(spark):
+    """A 12-node chain needs more label-propagation rounds than its
+    diameter/2 — verify the loop actually iterates to fixpoint."""
+    from osm_wayback_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    comp = connected_components(pairs).collect()
+    assert {r.component for r in comp} == {0}
+    assert len(comp) == n + 1

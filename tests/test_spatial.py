@@ -115,3 +115,26 @@ def test_knn_exact_matches_brute(spark, pts):
         for r in knn_brute(pdf, queries, k=4).collect()
     }
     assert exact == brute
+
+
+def test_knn_cells_plan_has_no_python_row_udf(spark):
+    """The ring expansion must stay native (neighbor_cells column
+    math): no BatchEvalPython / PythonUDF node may appear in the
+    physical plan of the single-ring path."""
+    from pyspark.sql import functions as F
+
+    from osm_wayback_spark.operators.spatial import knn_cells
+
+    pts = spark.range(100).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") * 3.7 % 360 - 180).alias("lon"),
+        (F.col("id") * 1.3 % 170 - 85).alias("lat"),
+    )
+    q = spark.range(5).select(
+        F.col("id").alias("query_id"),
+        (F.col("id") * 31.0 - 60.0).alias("lon"),
+        (F.col("id") * 17.0 - 40.0).alias("lat"),
+    )
+    plan = knn_cells(pts, q, k=3, res=4, ring=1)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
