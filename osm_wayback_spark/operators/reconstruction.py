@@ -43,6 +43,27 @@ def _np_default(o):
     return o.tolist()
 
 
+def _flat_coords(geometry: dict | None) -> list | None:
+    """Every [lon, lat] pair of a reconstructed geometry, flattened —
+    the typed twin of tiles._flat_lonlats so the tile stage can skip
+    re-parsing the GeoJSON string."""
+    if geometry is None:
+        return None
+    t = geometry.get("type")
+    c = geometry.get("coordinates")
+    if c is None:
+        return None
+    if t == "Point":
+        return [list(c)]
+    if t == "LineString":
+        return [list(p) for p in c]
+    if t == "Polygon":
+        return [list(p) for ring in c for p in ring]
+    if t == "MultiPolygon":
+        return [list(p) for poly in c for ring in poly for p in ring]
+    return None
+
+
 def rows_for_feature(
     element_type: str,
     osm_id: int,
@@ -51,6 +72,7 @@ def rows_for_feature(
     node_locations: dict | None,
     config: dict | None = None,
     with_feature_json: bool = False,
+    with_coords: bool = False,
 ) -> list[dict]:
     """One add_history+locations row → 0..N typed output rows.
 
@@ -95,6 +117,8 @@ def rows_for_feature(
             row["feature_json"] = json.dumps(
                 ft, separators=(",", ":"), sort_keys=True, default=_np_default
             )
+        if with_coords:
+            row["coords"] = _flat_coords(ft["geometry"])
         rows.append(row)
     return rows
 
@@ -104,6 +128,7 @@ def reconstruct(
     target_partitions: int | None = None,
     config: dict | None = None,
     with_feature_json: bool = False,
+    with_coords: bool = False,
 ) -> DataFrame:
     """add_history→add_node_locations output → per-version features.
 
@@ -135,16 +160,20 @@ def reconstruct(
         "element_type", "id", "geometry", "history", "node_locations"
     )
 
-    out_cols = _BASE_COLS + (["feature_json"] if with_feature_json else [])
-    # copy — StructType.add mutates the shared schema object
-    out_schema = T.StructType(
-        list(RECONSTRUCTED.fields)
-        + (
-            [T.StructField("feature_json", T.StringType())]
-            if with_feature_json
-            else []
+    extra_fields = []
+    if with_feature_json:
+        extra_fields.append(T.StructField("feature_json", T.StringType()))
+    if with_coords:
+        # typed flat [lon,lat] pairs: lets assign_tiles skip re-parsing
+        # the GeoJSON string (pts_col="coords")
+        extra_fields.append(
+            T.StructField(
+                "coords", T.ArrayType(T.ArrayType(T.DoubleType()))
+            )
         )
-    )
+    out_cols = _BASE_COLS + [f.name for f in extra_fields]
+    # copy — StructType.add mutates the shared schema object
+    out_schema = T.StructType(list(RECONSTRUCTED.fields) + extra_fields)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -160,7 +189,8 @@ def reconstruct(
             ):
                 geometry = json.loads(gj) if gj else None
                 for row in rows_for_feature(
-                    et, int(oid), geometry, hist, nl, config, with_feature_json
+                    et, int(oid), geometry, hist, nl, config,
+                    with_feature_json, with_coords,
                 ):
                     for c in out_cols:
                         cols[c].append(row[c])

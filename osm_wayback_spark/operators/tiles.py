@@ -46,6 +46,7 @@ def assign_tiles(
     geometry_col: str = "geometry",
     payload_cols: tuple[str, ...] = ("element_type", "id"),
     bbox_cover_max: int = 256,
+    pts_col: str | None = None,
 ) -> DataFrame:
     """features with a GeoJSON column → one row per (z, x, y, feature).
 
@@ -60,8 +61,17 @@ def assign_tiles(
     subset tradeoff, never a blowup.
 
     Output: z, x, y, *payload_cols, feature_json.
+
+    ``pts_col``: name of a typed ``array<array<double>>`` flat
+    [lon,lat] column (e.g. ``reconstruct(with_coords=True)``'s
+    ``coords``) — skips the GeoJSON regexp re-parse entirely.
     """
-    df = features.withColumn("_pts", _flat_lonlats(geometry_col))
+    if pts_col is not None:
+        df = features.withColumn("_pts", F.coalesce(
+            F.col(pts_col), F.array().cast("array<array<double>>")
+        ))
+    else:
+        df = features.withColumn("_pts", _flat_lonlats(geometry_col))
     df = df.filter(F.size("_pts") > 0)
     vert = F.array_distinct(
         F.transform(

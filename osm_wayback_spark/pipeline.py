@@ -72,11 +72,15 @@ def geometry_pipeline(pages: DataFrame) -> DataFrame:
 
 
 def reconstruction_pipeline(
-    pages: DataFrame, with_feature_json: bool = False
+    pages: DataFrame,
+    with_feature_json: bool = False,
+    with_coords: bool = False,
 ) -> DataFrame:
     """pages → per-version features (≙ stage-4 WRITE_EVERY_GEOMETRY)."""
     return reconstruct(
-        geometry_pipeline(pages), with_feature_json=with_feature_json
+        geometry_pipeline(pages),
+        with_feature_json=with_feature_json,
+        with_coords=with_coords,
     )
 
 

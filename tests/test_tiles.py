@@ -90,3 +90,24 @@ def test_assign_tiles_small_polygon_bbox_cover(spark):
     expected = {(x, y) for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)}
     assert xs == expected
     assert len(expected) > 4  # actually a multi-tile cover
+
+
+def test_typed_coords_path_matches_regex_path(spark):
+    """assign_tiles(pts_col='coords') over reconstruct(with_coords)
+    must produce exactly the tile set of the GeoJSON-regexp path."""
+    from pyspark.sql import functions as F
+
+    from osm_wayback_spark import pipeline
+    from osm_wayback_spark.operators.tiles import assign_tiles
+    from osm_wayback_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 0.001)
+    recon = pipeline.reconstruction_pipeline(pages, with_coords=True)
+    feats = recon.filter(F.col("geometry").isNotNull())
+    payload = ("element_type", "id", "version", "minor_version")
+    a = assign_tiles(feats, z=15, payload_cols=payload)
+    b = assign_tiles(feats, z=15, payload_cols=payload, pts_col="coords")
+    key_cols = ["z", "x", "y", *payload]
+    ka = sorted(tuple(r) for r in a.select(*key_cols).collect())
+    kb = sorted(tuple(r) for r in b.select(*key_cols).collect())
+    assert ka == kb
