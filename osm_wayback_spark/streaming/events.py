@@ -149,16 +149,40 @@ def stateful_sessionize(
 
 
 def run_available_now(
-    stream_df: DataFrame, table_name: str, timeout_s: int = 120
+    stream_df: DataFrame, table_name: str, timeout_s: int = 120,
+    output_mode: str = "complete",
 ) -> None:
     """Drain the source with Trigger.AvailableNow into an in-memory
-    table (complete mode) and block until done."""
+    table and block until done. ``complete`` for aggregations,
+    ``append`` for row-level operators (dedup, maps)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_s)
     q.stop()
+
+
+def streaming_exact_dedup(
+    documents: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for a continuously-crawled corpus:
+    ``dropDuplicatesWithinWatermark`` on the content fingerprint
+    (md5 of normalized text) — the first-seen copy of each document
+    passes, re-crawls inside the watermark horizon are dropped, and
+    the dedup state is bounded by the watermark (old fingerprints
+    age out instead of growing forever, the property that matters on
+    an unbounded crawl)."""
+    fp = F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    return (
+        documents.withColumn("ts", F.col(ts_col).cast("timestamp"))
+        .withColumn("_fp", fp)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )

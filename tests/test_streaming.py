@@ -92,3 +92,32 @@ def test_stateful_sessionize(spark, events_path):
         assert key in exp, key
         assert exp[key] == r.n_events
     assert len(got) > 0
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicate texts in the stream collapse to one surviving row
+    per fingerprint; distinct texts all pass."""
+    import datetime
+
+    from osm_wayback_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        streaming_exact_dedup,
+    )
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for i in range(30):
+        text = f"doc body {i % 10}"  # 10 distinct texts, 3 crawls each
+        rows.append((i, t0 + datetime.timedelta(minutes=i), text))
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).write.parquet(path)
+
+    stream = streaming_exact_dedup(read_event_stream(spark, path))
+    run_available_now(stream, "deduped_docs", output_mode="append")
+    out = spark.table("deduped_docs").collect()
+    texts = [r.text for r in out]
+    assert len(texts) == 10
+    assert len(set(texts)) == 10
