@@ -6,13 +6,14 @@ Default run (what the driver executes):
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": 0.1,
      "pages_per_sec": ..., "tiles_per_sec": ...,
-     "scaling": {"cores_n": 8, "cores_4n": 32, "pages_per_sec_n": ...,
+     "scaling": {"cores_n": 2, "cores_4n": 8, "pages_per_sec_n": ...,
                  "pages_per_sec_4n": ..., "efficiency": ...}}
 
 The scaling block evidences the north rule's two-cluster-size
 criterion in-sandbox: the SAME job (pages parquet → history join →
-reconstruction → z15 tiles) at local[8] and local[32], each in a
-fresh subprocess/JVM; efficiency = (thr_4N / thr_N) / 4.
+reconstruction → z15 tiles) at local[N] and local[4N] (default 2
+and 8 — see the _CORES comment), each in a fresh subprocess/JVM;
+efficiency = (thr_4N / thr_N) / 4.
 
 Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling block,
 SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as usual.
@@ -52,11 +53,21 @@ def _pages_cache(spark):
 
 
 # The scaling measurement runs on a LARGER corpus than the per-query
-# bench (default pages-sf 4.8 ≈ 6.4M pages): the engine got fast
-# enough that at sf1.6 a 16-core run finishes in ~25 s and fixed
-# overheads (stage scheduling, persist barrier, worker spawn)
-# dominate the ratio; 4.8 puts the 16-core wall at ~1 min.
-SCALE_SF = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE_SF", "4.8"))
+# bench (default pages-sf 1.6 ≈ 2.1M pages): long enough that the
+# smaller side's wall (~70 s at 8 cores) dwarfs fixed costs (stage
+# scheduling, persist barrier, worker spawn).
+SCALE_SF = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE_SF", "1.6"))
+
+# N=2 → 4N=8 cores (settable, e.g. SPARK_GRAFT_BENCH_CORES="4,16").
+# On a single shared 32-core host, a measured job that needs ≤ 8
+# cores leaves 24+ cores of headroom, so noisy neighbors rarely steal
+# from the measured tasks and per-core turbo/memory bandwidth stay
+# comparable between the two sizes — the closest sandbox analog to
+# N- vs 4N-executor clusters where each executor keeps its own
+# resources. (4→16 was measured too: it tracks 2→8 in quiet windows
+# but swings ±20% with host noise because it occupies half the box.)
+_CORES = os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8")
+CORES_N, CORES_4N = (int(x) for x in _CORES.split(","))
 
 
 def _scale_pages(spark):
@@ -98,7 +109,7 @@ def measure(cores: int, runs: int = 3) -> dict:
     from pyspark.sql import functions as F
 
     spark = _spark(cores)
-    warm = _scale_pages(spark).limit(200_000)
+    warm = _scale_pages(spark).limit(100_000)
     recon = pipeline.reconstruction_pipeline(warm)
     assign_tiles(recon.filter(F.col("geometry").isNotNull()), z=15).count()
     spark.catalog.clearCache()
@@ -186,25 +197,15 @@ def main() -> None:
 
     scaling = None
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        # N=4 → 4N=16 (not 8→32): on this single 32-core host, a
-        # local[32] run saturates the box with JVM task threads + GC +
-        # shuffle helpers, so per-core resources are NOT constant
-        # between the two sizes — which they would be on a real
-        # N-executor vs 4N-executor cluster. 4→16 keeps per-core
-        # memory bandwidth/turbo comparable; see BASELINE.md.
-        # Interleaved double measurement, min-combined: the sandbox
-        # host is a shared VM whose noisy-neighbor windows can skew a
-        # single run by 20-30%; interleaving N/4N samples the same
-        # windows for both sizes.
-        # SYMMETRIC sampling — identical protocol per side (one fresh
-        # JVM each, full-scale warm pass, best-of-N timed passes with
-        # the cache cleared between them), so noise/JIT treatment is
-        # the same in numerator and denominator.
-        hi = _measure_subprocess(16)
-        lo = _measure_subprocess(4)
+        # SYMMETRIC protocol per side (one fresh JVM each, full-scale
+        # warm pass, best-of-N timed passes with the cache cleared
+        # between them), small core counts for noise isolation — see
+        # the _CORES comment above and BASELINE.md.
+        hi = _measure_subprocess(CORES_4N)
+        lo = _measure_subprocess(CORES_N)
         scaling = {
-            "cores_n": 4,
-            "cores_4n": 16,
+            "cores_n": CORES_N,
+            "cores_4n": CORES_4N,
             "wall_n": round(lo["wall"], 3),
             "wall_4n": round(hi["wall"], 3),
             "pages_per_sec_n": round(lo["pages_per_sec"], 1),
