@@ -612,12 +612,15 @@ def q_pages_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _write_reconstruct_expected(sf_dir: str) -> None:
-    """Materialize the DRIVER-SIDE oracle's reconstruction output
-    (tests/oracle.py: row-at-a-time re-execution of the reference
-    stages, no Spark) as the expected table for DuckDB."""
+    """Materialize the DRIVER-SIDE oracle's reconstruction output as
+    the expected table for DuckDB. FULLY independent of the engine:
+    stages 1-3 are tests/oracle.py (row-at-a-time re-execution), and
+    stage 4 is tests/oracle_reconstruct.py — a second implementation
+    transliterated from the reference JS builders, importing nothing
+    from osm_wayback_spark.operators.{_reconstruct_core,reconstruction}
+    — so a kernel semantics bug FAILS the pages_reconstruct hash."""
     import os
 
-    from osm_wayback_spark.operators.reconstruction import rows_for_feature
     from osm_wayback_spark.synth import sf_from_dir
     from tests.oracle import (
         add_history_oracle,
@@ -625,13 +628,14 @@ def _write_reconstruct_expected(sf_dir: str) -> None:
         extract_all,
         node_locations_oracle,
     )
+    from tests.oracle_reconstruct import reconstruct_rows
 
     versions, locs, features = build_index(extract_all(sf_from_dir(sf_dir)))
     histories = add_history_oracle(versions, features)
     nested = node_locations_oracle(histories, features, locs)
     exp = []
     for key, feat in features.items():
-        for row in rows_for_feature(
+        for row in reconstruct_rows(
             key[0], key[1], feat.get("geometry"), histories.get(key) or [],
             nested.get(key),
         ):
