@@ -209,18 +209,43 @@ def build_history_object(
     history: list | None,
     node_locations: dict | None,
     config: dict | None = None,
+    feature_props: dict | None = None,
 ) -> tuple[dict, list[dict]]:
     """(base object, newHistoryObject) — the whole-object output
-    shapes of map-geom-reconstruction.js:230-275: the input feature
-    with nodeLocations/@way_nodes stripped, plus the per-version
-    feature array that WRITE_EVERY_GEOMETRY would emit line-wise."""
+    shapes of map-geom-reconstruction.js:230-275.
+
+    The base object is the INPUT feature: with the reference's default
+    GEOMETRY_ONLY=false its full original properties (tags plus the
+    osmium export attributes @type/@id/@version/@changeset/@timestamp/
+    @uid/@user) are carried through, with only ``nodeLocations`` and
+    ``@way_nodes`` stripped (js:237-243) and ``@history`` replaced by
+    the reconstructed per-version feature array (js:233). With
+    GEOMETRY_ONLY the properties narrow to @validSince/@validUntil/
+    @history (js:246-252). ``feature_props`` supplies the original
+    attributes/tags; None keeps the minimal @type/@id object (older
+    callers/tests)."""
+    cfg_geom_only = bool((config or {}).get("GEOMETRY_ONLY", False))
     feats = reconstruct_feature(
         element_type, osm_id, geometry, history, node_locations, config
     )
+    props: dict = {"@type": element_type, "@id": osm_id}
+    if feature_props:
+        for k in ("@version", "@changeset", "@timestamp", "@uid", "@user"):
+            if feature_props.get(k) is not None:
+                props[k] = feature_props[k]
+        for k, v in (feature_props.get("tags") or {}).items():
+            if v is not None:
+                props[k] = v
+    if cfg_geom_only:
+        # js:246-252 — strip the base object too
+        props = {
+            "@validSince": (feature_props or {}).get("@timestamp"),
+            "@validUntil": False,
+        }
     obj = {
         "type": "Feature",
         "geometry": geometry,
-        "properties": {"@type": element_type, "@id": osm_id},
+        "properties": props,
     }
     return obj, feats
 
@@ -254,11 +279,19 @@ def reconstruct_objects(
     if target_partitions is None:
         sc = with_locations.sparkSession.sparkContext
         target_partitions = max(sc.defaultParallelism * 2, 8)
+    feat_cols = [
+        c for c in ("version", "changeset", "ts", "uid", "user", "tags")
+        if c in with_locations.columns
+    ]
     prepared = with_locations.repartition(target_partitions).select(
-        "element_type", "id", "geometry", "history", "node_locations"
+        "element_type", "id", "geometry", "history", "node_locations",
+        *feat_cols,
     )
 
     from ..sources.sinks import to_topojson_history
+
+    _ATTR = {"version": "@version", "changeset": "@changeset",
+             "ts": "@timestamp", "uid": "@uid", "user": "@user"}
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -266,26 +299,62 @@ def reconstruct_objects(
                 "element_type": [], "id": [], "line_json": [],
                 "object_json": [], "n_versions": [],
             }
-            for et, oid, gj, hist, nl in zip(
+            for idx, (et, oid, gj, hist, nl) in enumerate(zip(
                 pdf["element_type"], pdf["id"], pdf["geometry"],
                 pdf["history"], pdf["node_locations"],
-            ):
+            )):
                 geometry = json.loads(gj) if gj else None
+                fprops = None
+                if feat_cols:
+                    fprops = {
+                        _ATTR[c]: pdf[c].iloc[idx]
+                        for c in feat_cols if c != "tags"
+                    }
+                    if "tags" in feat_cols:
+                        fprops["tags"] = pdf["tags"].iloc[idx]
                 obj, feats = build_history_object(
-                    et, int(oid), geometry, hist, nl, config
+                    et, int(oid), geometry, hist, nl, config,
+                    feature_props=fprops,
                 )
-                if not feats:
-                    continue  # status.noHistory: original line re-emitted
+                has_history = hist is not None and len(hist) > 0
+                if not has_history:
+                    # js:281-283 status.noHistory — the ORIGINAL line
+                    # is re-emitted verbatim (columnar engine: the
+                    # feature re-serialized, without @history).
+                    cols["element_type"].append(et)
+                    cols["id"].append(int(oid))
+                    line = json.dumps(
+                        obj, separators=(",", ":"), default=_np_default
+                    )
+                    cols["line_json"].append(line)
+                    cols["object_json"].append(line)
+                    cols["n_versions"].append(0)
+                    continue
+                builder_defined = (
+                    et == "node" or bool(nl) or et == "relation"
+                )
+                if not builder_defined:
+                    # js:96-98/276-278 geometryBuilderFailedToDefine:
+                    # nothing is written for this line.
+                    continue
                 if mode == "complete":
                     s = json.dumps(
                         feats, separators=(",", ":"), default=_np_default
                     )
+                    # js:233 the object's @history becomes the array,
+                    # THEN js:250-251 adds the typo'd string copy.
+                    obj["properties"]["@history"] = feats
                     obj["properties"]["@histrory"] = s  # sic — the typo
                     line = s
                 else:
-                    obj["properties"]["@history"] = to_topojson_history(
-                        feats, quantization
-                    )
+                    try:
+                        obj["properties"]["@history"] = to_topojson_history(
+                            feats, quantization
+                        )
+                    except Exception:  # noqa: BLE001
+                        # js:269-271 status.topoJSONEncodingError —
+                        # the feature is skipped, the task survives.
+                        continue
                     line = json.dumps(
                         obj, separators=(",", ":"), default=_np_default
                     )

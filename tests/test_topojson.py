@@ -148,3 +148,109 @@ def test_reconstruct_objects_modes(spark):
     }
     for r in complete:
         assert per_feat[(r.element_type, r.id)] == r.n_versions
+
+
+def _geom_df(spark, sf=0.001):
+    from osm_wayback_spark import pipeline
+    from osm_wayback_spark.operators.history import add_history
+    from osm_wayback_spark.operators.locations import add_node_locations
+    from osm_wayback_spark.synth import synth_pages
+
+    t = pipeline.build_tables(synth_pages(spark, sf))
+    return add_node_locations(
+        add_history(t["features"], t["versions"]), t["node_locations"]
+    )
+
+
+def test_base_object_keeps_original_properties(spark):
+    """GEOMETRY_ONLY=false default: the written object keeps the
+    feature's full original properties (tags + osmium attributes),
+    with @history replaced by the reconstruction array and
+    nodeLocations/@way_nodes stripped (map-geom-reconstruction.js:
+    230-243)."""
+    from osm_wayback_spark.operators.reconstruction import reconstruct_objects
+
+    geom = _geom_df(spark)
+    src = {
+        (r.element_type, r.id): r
+        for r in geom.select(
+            "element_type", "id", "version", "changeset", "ts", "uid",
+            "user", "tags"
+        ).collect()
+    }
+    rows = reconstruct_objects(geom, mode="complete").collect()
+    checked_tags = 0
+    for r in rows[:50]:
+        obj = json.loads(r.object_json)
+        p = obj["properties"]
+        s = src[(r.element_type, r.id)]
+        assert p["@version"] == s.version
+        assert p["@timestamp"] == s.ts
+        assert p["@uid"] == s.uid
+        assert p["@user"] == s.user
+        assert p["@changeset"] == s.changeset
+        assert isinstance(p["@history"], list)
+        assert len(p["@history"]) == r.n_versions
+        assert "nodeLocations" not in obj and "@way_nodes" not in p
+        for k, v in (s.tags or {}).items():
+            assert p[k] == v
+            checked_tags += 1
+    assert checked_tags > 0
+
+
+def test_no_history_reemits_original_line(spark):
+    """status.noHistory (js:281-283): a feature whose line has no
+    @history is written back out, not dropped."""
+    from pyspark.sql import functions as F
+
+    from osm_wayback_spark.operators.reconstruction import reconstruct_objects
+
+    geom = _geom_df(spark).limit(20).withColumn(
+        "history", F.expr("filter(history, x -> false)")
+    )
+    rows = reconstruct_objects(geom, mode="topojson").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_versions == 0
+        obj = json.loads(r.line_json)
+        assert obj["type"] == "Feature"
+        assert "@history" not in obj["properties"]
+        assert "@id" in obj["properties"]
+
+
+def test_topojson_encode_error_skips_feature(spark, monkeypatch):
+    """js:269-271 status.topoJSONEncodingError: a topology() failure
+    skips the feature instead of failing the task."""
+    import osm_wayback_spark.sources.sinks as sinks
+    from osm_wayback_spark.operators.reconstruction import reconstruct_objects
+
+    geom = _geom_df(spark)
+    n_ok = reconstruct_objects(geom, mode="topojson").count()
+    real = sinks.to_topojson_history
+
+    def flaky(feats, quantization=None):
+        if len(feats) >= 3:  # fail the multi-version features only
+            raise ValueError("boom")
+        return real(feats, quantization)
+
+    monkeypatch.setattr(sinks, "to_topojson_history", flaky)
+    rows = reconstruct_objects(geom, mode="topojson").collect()
+    assert 0 < len(rows) < n_ok
+    assert all(r.n_versions < 3 for r in rows)
+
+
+def test_geometry_only_base_object():
+    """js:246-252 — GEOMETRY_ONLY strips the base object's properties
+    to @validSince/@validUntil."""
+    from osm_wayback_spark.operators.reconstruction import build_history_object
+
+    hist = [{"i": 1, "t": 1000, "c": 5, "u": 7, "h": "a",
+             "p": [1.0, 2.0], "n": None, "d": None,
+             "aA": {"x": "y"}, "aM": None, "aD": None}]
+    obj, feats = build_history_object(
+        "node", 42, {"type": "Point", "coordinates": [1.0, 2.0]},
+        hist, None, config={"GEOMETRY_ONLY": True},
+        feature_props={"@version": 1, "@timestamp": 1000, "tags": {"x": "y"}},
+    )
+    assert obj["properties"] == {"@validSince": 1000, "@validUntil": False}
+    assert feats
