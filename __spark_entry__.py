@@ -462,19 +462,24 @@ def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4; exact —
-    the LSH-bucketed variant is ann_lsh)."""
-    from osm_wayback_spark.operators.similarity import with_cosine
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) over
+    deterministic LSH candidates — the scale shape: the only self-join
+    is a bucket equi-join, never the all-pairs theta join. The
+    candidate set is materialized so the DuckDB oracle verifies the
+    exact-cosine threshold step over the SAME pairs; candidate recall
+    vs the exact all-pairs is pytest-gated (test_similarity)."""
+    import os
+
+    from osm_wayback_spark.operators.similarity import (
+        near_dup_candidates,
+        near_dup_pairs,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    return (
-        with_cosine(pairs)
-        .filter(F.col("cosine") >= 0.4)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    path = f"{_ORACLE_DIR}/near_dup_cands.parquet"
+    near_dup_candidates(emb).write.mode("overwrite").parquet(path)
+    return near_dup_pairs(emb, spark.read.parquet(path), threshold=0.4)
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,19 +1103,23 @@ def oracle_sql() -> dict[str, str]:
                      AS n_bpe_tokens
             FROM documents
         """,
-        "embedding_near_dup": """
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(
-                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                   6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(
-                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                  6) >= 0.4
+        "embedding_near_dup": f"""
+            WITH cand AS (
+              SELECT vec_a, vec_b
+              FROM read_parquet('{_ORACLE_DIR}/near_dup_cands.parquet/*.parquet')
+            ),
+            scored AS (
+              SELECT c.vec_a, c.vec_b,
+                     round(
+                       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS cosine
+              FROM cand c
+              JOIN embeddings a ON a.vec_id = c.vec_a
+              JOIN embeddings b ON b.vec_id = c.vec_b
+            )
+            SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -19,13 +19,44 @@ produce quadratic candidates — the cap is logged, not silent.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles
 
+logger = logging.getLogger(__name__)
+
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4  # 3 rows per band at 12 hashes
+
+
+def _cap_buckets(
+    bucketed: DataFrame, keys: list[str], max_bucket: int | None, what: str
+) -> DataFrame:
+    """Hot-bucket guard for pair generation: drop buckets with more
+    than ``max_bucket`` members BEFORE the self-join, and log how many
+    were dropped (never silent). A single degenerate bucket — a few
+    million boilerplate-identical docs that survive exact dedup by one
+    byte — otherwise self-joins O(n²); members of a dropped bucket can
+    still pair through their other bands/chunks. The membership count
+    is a window over the same keys the join shuffles on, so no extra
+    exchange is introduced; the logged count is one small extra job,
+    only when the cap is enabled."""
+    if max_bucket is None:
+        return bucketed
+    w = Window.partitionBy(*keys)
+    capped = bucketed.withColumn("_bn", F.count("*").over(w))
+    dropped = (
+        capped.filter(F.col("_bn") > max_bucket).select(*keys).distinct().count()
+    )
+    if dropped:
+        logger.warning(
+            "%s: dropped %d hot bucket(s) with > %d members before "
+            "pair generation", what, dropped, max_bucket,
+        )
+    return capped.filter(F.col("_bn") <= max_bucket).drop("_bn")
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -66,12 +97,16 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """→ distinct (doc_a, doc_b) sharing ≥1 LSH band bucket (a < b).
 
     Band hash = md5(concat of the band's signature slots). The
     bucket-join is an equi-join on (band, band_hash) — broadcastable
-    when one side is small, AQE-skew-split otherwise.
+    when one side is small, AQE-skew-split otherwise. ``max_bucket``
+    drops degenerate hot buckets before the self-join (logged; see
+    _cap_buckets) — None (default) is the exact/oracle-parity
+    configuration; set it at planet scale.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -85,6 +120,7 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket, "lsh_candidate_pairs")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -218,10 +254,13 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def simhash_pairs(
-    sim: DataFrame, bits: int = SIMHASH_BITS, chunks: int = 4
+    sim: DataFrame, bits: int = SIMHASH_BITS, chunks: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing ≥1 of `chunks` bit-slices
-    (detects pairs within hamming distance < chunks by pigeonhole)."""
+    (detects pairs within hamming distance < chunks by pigeonhole).
+    ``max_bucket`` drops degenerate hot slices before the self-join
+    (logged; see _cap_buckets); None is the exact configuration."""
     width = bits // chunks
     slices = [
         F.struct(
@@ -235,6 +274,7 @@ def simhash_pairs(
     bucketed = sim.select(
         "doc_id", F.explode(F.array(*slices)).alias("s")
     ).select("doc_id", "s.chunk", "s.val")
+    bucketed = _cap_buckets(bucketed, ["chunk", "val"], max_bucket, "simhash_pairs")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
@@ -300,6 +340,15 @@ def connected_components(
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
+    else:
+        # min-label propagation advances one hop per round: a
+        # component whose diameter exceeds max_iters would otherwise
+        # be returned silently SPLIT. Never silent.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds (a component's diameter exceeds max_iters); raise "
+            "max_iters or use the large-star/small-star contraction"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -207,6 +207,65 @@ def ann_lsh(
     return full.unionByName(cosine_topk(embeddings, starved, k))
 
 
+def near_dup_candidates(
+    embeddings: DataFrame,
+    n_planes: int = 3,
+    tables: int = 12,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup CANDIDATE pairs → distinct (vec_a, vec_b),
+    a < b: pairs sharing ≥1 LSH bucket in any table.
+
+    The scale-safe replacement for the all-pairs theta self-join: the
+    only join is an equi-join on the bucket id (shuffle on a short
+    key), so cost is Σ_buckets C(n_b, 2), not C(N, 2). Recall for a
+    cosine-θ pair is 1-(1-(1-θ/π)^n_planes)^tables — the defaults give
+    ≥ 0.95 for cosine ≥ 0.4 (pytest-gated vs the exact all-pairs at
+    test scale). At planet scale raise ``n_planes`` (smaller buckets)
+    and ``tables`` together, and set ``max_bucket`` to guard degenerate
+    buckets (logged, see operators.dedup._cap_buckets)."""
+    from .dedup import _cap_buckets
+
+    rows = lsh_bucket_rows(embeddings, n_planes, tables).select(
+        "vec_id", "bucket"
+    )
+    rows = _cap_buckets(rows, ["bucket"], max_bucket, "near_dup_candidates")
+    a, b = rows.alias("a"), rows.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-cosine verify over a candidate pair set → (vec_a, vec_b,
+    cosine ≥ threshold). Two vec_id equi-joins + column-math cosine;
+    no Python, no self-join."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb")
+    )
+    scored = with_cosine(candidates.join(a, on="vec_a").join(b, on="vec_b"))
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b", "cosine"
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the second scale path: k-means coarse
 # quantizer + nprobe cell search. Complements LSH: better recall per

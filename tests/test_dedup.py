@@ -127,3 +127,62 @@ def test_connected_components_converges_under_max_iters(spark):
     comp = connected_components(pairs).collect()
     assert {r.component for r in comp} == {0}
     assert len(comp) == n + 1
+
+
+def test_lsh_hot_bucket_cap(spark, caplog):
+    """A degenerate band bucket (here: 600 one-token-variant docs that
+    still share every band) must not self-join O(n^2): the cap drops
+    the hot buckets, logs it, and keeps pairs from healthy buckets."""
+    import logging
+
+    hot = [(i, "boilerplate header common to every page") for i in range(600)]
+    cold = [
+        (1000, "alpha beta gamma delta epsilon zeta"),
+        (1001, "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    sigs = minhash_signatures(docs, 8, 3)
+
+    uncapped = lsh_candidate_pairs(sigs, 8, 4)
+    assert uncapped.count() >= 600 * 599 // 2  # the quadratic blowup
+
+    with caplog.at_level(logging.WARNING, logger="osm_wayback_spark.operators.dedup"):
+        capped = lsh_candidate_pairs(sigs, 8, 4, max_bucket=100)
+        got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (1000, 1001) in got          # healthy buckets still pair
+    assert len(got) <= len(cold) ** 2   # bounded: no hot-bucket pairs
+    assert any("hot bucket" in r.message for r in caplog.records)
+
+
+def test_simhash_hot_bucket_cap(spark, caplog):
+    import logging
+
+    hot = [(i, "identical simhash text for everyone") for i in range(300)]
+    cold = [
+        (1000, "alpha beta gamma delta epsilon zeta"),
+        (1001, "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    sim = simhash(docs)
+    assert simhash_pairs(sim).count() >= 300 * 299 // 2
+    with caplog.at_level(logging.WARNING, logger="osm_wayback_spark.operators.dedup"):
+        capped = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_pairs(sim, max_bucket=50).collect()
+        }
+    assert (1000, 1001) in capped
+    assert all(a >= 1000 for a, _ in capped)
+    assert any("hot bucket" in r.message for r in caplog.records)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iters must raise, not silently split
+    (min-label propagation advances one hop per round)."""
+    from osm_wayback_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=3)
+    comp = connected_components(pairs, max_iters=40).collect()
+    assert {r.component for r in comp} == {0}

@@ -114,3 +114,43 @@ def test_ivf_centroids_deterministic(spark):
     a = train_ivf_centroids(df, n_centroids=4, iters=2)
     b = train_ivf_centroids(df.repartition(7), n_centroids=4, iters=2)
     assert np.allclose(a, b)
+
+
+def test_near_dup_candidates_recall_and_plan(spark):
+    """The LSH-candidate near-dup path (the scale shape replacing the
+    all-pairs theta join): recall vs the exact all-pairs set must be
+    high at the default params, found pairs must be a subset of the
+    exact set (cosine is computed exactly over candidates), and the
+    physical plan must contain no cartesian/theta self-join."""
+    import numpy as np
+
+    from osm_wayback_spark.operators.similarity import (
+        near_dup_candidates,
+        near_dup_pairs,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted((r.vec_id, list(r.embedding)) for r in df.collect())
+    mat = np.array([v for _, v in rows], dtype=np.float64)
+    ids = [i for i, _ in rows]
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = np.round(norm @ norm.T, 6)
+    exact = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= 0.4
+    }
+    assert exact  # the corpus must actually contain near-dups
+
+    cands = near_dup_candidates(df)
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in near_dup_pairs(df, cands, 0.4).collect()
+    }
+    assert found <= exact
+    assert len(found) / len(exact) >= 0.9
+
+    plan = near_dup_pairs(df, near_dup_candidates(df), 0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
