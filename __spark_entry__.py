@@ -324,26 +324,47 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate nearest neighbors (rows-only: the
-    bucketing kernel is deliberately non-SQL)."""
-    from osm_wayback_spark.operators.similarity import ann_lsh
+    """Hyperplane-LSH approximate nearest neighbors. The candidate set
+    (the approximate part, pytest-recall-gated) is materialized to
+    parquet; the exact-cosine re-rank, k-guarantee and tie-breaks are
+    then fully oracle-checked — DuckDB re-ranks the SAME candidates."""
+    import os
+
+    from osm_wayback_spark.operators.similarity import (
+        ann_lsh_candidates,
+        rerank_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    out = ann_lsh(emb, queries, k=5)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    path = f"{_ORACLE_DIR}/ann_lsh_cands.parquet"
+    ann_lsh_candidates(emb, queries, k=5).write.mode("overwrite").parquet(path)
+    out = rerank_topk(emb, queries, spark.read.parquet(path), k=5)
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
     )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means + nprobe) approximate nearest neighbors — rows-only
-    (approximate by construction; recall floor pytest-enforced)."""
-    from osm_wayback_spark.operators.similarity import ann_ivf
+    """IVF (k-means + nprobe) approximate nearest neighbors — same
+    materialized-candidates oracle pattern as ann_lsh (candidate
+    generation recall-gated in pytest, re-rank oracle-checked)."""
+    import os
+
+    from osm_wayback_spark.operators.similarity import (
+        ann_ivf_candidates,
+        rerank_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    out = ann_ivf(emb, queries, k=5, n_centroids=16, nprobe=6)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    path = f"{_ORACLE_DIR}/ann_ivf_cands.parquet"
+    ann_ivf_candidates(
+        emb, queries, k=5, n_centroids=16, nprobe=6
+    ).write.mode("overwrite").parquet(path)
+    out = rerank_topk(emb, queries, spark.read.parquet(path), k=5)
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
     )
@@ -1070,6 +1091,52 @@ def oracle_sql() -> dict[str, str]:
                      6) AS cosine
               FROM embeddings e CROSS JOIN q
               WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_lsh": f"""
+            WITH cand AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{_ORACLE_DIR}/ann_lsh_cands.parquet/*.parquet')
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(
+                       list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS cosine
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.vec_id
+            )
+            SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_ivf": f"""
+            WITH cand AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{_ORACLE_DIR}/ann_ivf_cands.parquet/*.parquet')
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(
+                       list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS cosine
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.vec_id
             )
             SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
             FROM (

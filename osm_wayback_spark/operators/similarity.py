@@ -135,6 +135,93 @@ def lsh_bucket_rows(
     )
 
 
+def rerank_topk(
+    embeddings: DataFrame, queries: DataFrame, candidates: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, vec_id) candidate set →
+    (query_id, vec_id, cosine, rank ≤ k), ties on vec_id. Two id
+    equi-joins + column-math cosine + WindowGroupLimit top-k — fully
+    SQL-expressible, so a materialized candidate set makes the whole
+    re-rank DuckDB-oracle-checkable (the candidate GENERATION is the
+    approximate, pytest-recall-gated part)."""
+    a = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a_emb")
+    )
+    b = embeddings.select("vec_id", F.col("embedding").alias("b_emb"))
+    scored = with_cosine(candidates.join(a, on="query_id").join(b, on="vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.select("query_id", "vec_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _guarantee_k(
+    embeddings: DataFrame, queries: DataFrame, cands: DataFrame, k: int
+) -> DataFrame:
+    """Guaranteed-k augmentation: queries with fewer than k candidates
+    (empty/sparse buckets) get the FULL corpus as candidates — the
+    exact broadcast path, expressed as candidate rows so the re-rank
+    stays one shape. ``cands`` is persisted: counts, the sated join
+    and the starved anti-join all reuse it instead of recomputing the
+    bucket-join DAG (the round-2 advice finding)."""
+    cands = cands.persist()
+    counts = cands.groupBy("query_id").agg(F.count("*").alias("_n"))
+    sated = counts.filter(F.col("_n") >= k).select("query_id")
+    starved = queries.join(
+        sated.withColumnRenamed("query_id", "vec_id"), on="vec_id", how="left_anti"
+    ).select(F.col("vec_id").alias("query_id"))
+    starved_cands = embeddings.select("vec_id").crossJoin(
+        F.broadcast(starved)
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    return (
+        cands.join(F.broadcast(sated), on="query_id")
+        .unionByName(starved_cands.select("query_id", "vec_id"))
+    )
+
+
+def ann_lsh_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 6,
+    tables: int = 8,
+    probes: int = 1,
+    fallback: bool = True,
+) -> DataFrame:
+    """LSH candidate generation → distinct (query_id, vec_id): the
+    query's bucket neighborhood across ``tables`` independent hash
+    tables (OR-amplification), plus single-bit-flip multiprobe buckets
+    when ``probes`` ≥ 1. With ``fallback`` the set is augmented so
+    every query has ≥ min(k, N-1) candidates (see _guarantee_k)."""
+    c = lsh_bucket_rows(embeddings, n_planes, tables).select("vec_id", "bucket")
+    q = lsh_bucket_rows(queries, n_planes, tables).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    if probes >= 1:
+        # low-bit flips stay inside the table (bucket = tbl·2^b + bits)
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probe_buckets))
+    # a (query, candidate) pair can match in several tables — dedup
+    # BEFORE scoring so each dot product is paid once
+    cands = (
+        c.join(q, on="bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    if not fallback:
+        return cands
+    return _guarantee_k(embeddings, queries, cands, k)
+
+
 def ann_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -150,61 +237,15 @@ def ann_lsh(
     big to broadcast (bucket equi-join instead of cross join).
 
     Recall levers (defaults tuned so recall@5 ≥ 0.8 on the driver
-    embeddings, pytest-enforced):
-    - ``tables``: independent hash tables, candidates unioned — the
-      classic LSH OR-amplification; one Arrow kernel pass computes
-      all tables' bits (single matmul), the fan-out is native.
-    - ``probes``: multiprobe radius — probes=1 also visits the
-      n_planes single-bit-flip buckets per table (native bitwiseXOR
-      explode, no Python).
-    - ``fallback=True``: queries that found fewer than k candidates
-      (empty/sparse buckets) are re-answered by the exact broadcast
-      path, so every query is guaranteed k results.
+    embeddings, pytest-enforced): ``tables`` (OR-amplification, one
+    matmul computes all tables' bits), ``probes`` (multiprobe radius,
+    native bitwiseXOR explode), ``fallback`` (guaranteed k results per
+    query via full-corpus candidates for starved queries).
     """
-    c = lsh_bucket_rows(embeddings, n_planes, tables).select(
-        "vec_id", "bucket", F.col("embedding").alias("b_emb")
+    cands = ann_lsh_candidates(
+        embeddings, queries, k, n_planes, tables, probes, fallback
     )
-    q = lsh_bucket_rows(queries, n_planes, tables).select(
-        F.col("vec_id").alias("query_id"),
-        "bucket",
-        F.col("embedding").alias("a_emb"),
-    )
-    if probes >= 1:
-        # low-bit flips stay inside the table (bucket = tbl·2^b + bits)
-        probe_buckets = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                for b in range(n_planes)
-            ],
-        )
-        q = q.withColumn("bucket", F.explode(probe_buckets))
-    # a (query, candidate) pair can match in several tables — dedup
-    # BEFORE scoring so each dot product is paid once
-    cand = (
-        c.join(q, on="bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.first("a_emb").alias("a_emb"), F.first("b_emb").alias("b_emb"))
-    )
-    scored = with_cosine(cand).select("query_id", "vec_id", "cosine")
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
-    approx = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-    if not fallback:
-        return approx
-    counts = approx.groupBy("query_id").agg(F.count("*").alias("_n"))
-    starved = queries.join(
-        counts.filter(F.col("_n") >= k).select(F.col("query_id").alias("vec_id")),
-        on="vec_id",
-        how="left_anti",
-    )
-    full = approx.join(
-        counts.filter(F.col("_n") >= k).select("query_id"), on="query_id"
-    )
-    return full.unionByName(cosine_topk(embeddings, starved, k))
+    return rerank_topk(embeddings, queries, cands, k)
 
 
 def near_dup_candidates(
@@ -334,6 +375,52 @@ def with_ivf_cell(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
     return embeddings.withColumn("cell", cell_udf("embedding"))
 
 
+def ann_ivf_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    centroids: np.ndarray | None = None,
+    fallback: bool = True,
+) -> DataFrame:
+    """IVF candidate generation → distinct (query_id, vec_id): the
+    query's ``nprobe`` nearest centroid cells, equi-joined on cell.
+    With ``fallback`` the set is augmented so every query has ≥
+    min(k, N-1) candidates (see _guarantee_k)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_centroids, iters)
+    cent = centroids.astype(np.float64)
+    cnorm2 = (cent * cent).sum(axis=1)
+    n_probe = min(nprobe, len(cent))
+
+    c = with_ivf_cell(embeddings, centroids).select("vec_id", "cell")
+
+    @pandas_udf("array<int>")
+    def probe_udf(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="object")
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        scores = cnorm2[None, :] - 2.0 * (mat @ cent.T)
+        order = np.argsort(scores, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe_udf("embedding")).alias("cell"),
+    )
+    cands = (
+        c.join(q, on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    if not fallback:
+        return cands
+    return _guarantee_k(embeddings, queries, cands, k)
+
+
 def ann_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -349,47 +436,8 @@ def ann_ivf(
     cosine re-rank within. → (query_id, vec_id, cosine, rank).
     Pass precomputed ``centroids`` to skip training (production: train
     once on a sample, reuse). ``fallback`` guarantees k results per
-    query via the exact broadcast path."""
-    if centroids is None:
-        centroids = train_ivf_centroids(embeddings, n_centroids, iters)
-    cent = centroids.astype(np.float64)
-    cnorm2 = (cent * cent).sum(axis=1)
-    n_probe = min(nprobe, len(cent))
-
-    c = with_ivf_cell(embeddings, centroids).select(
-        "vec_id", "cell", F.col("embedding").alias("b_emb")
+    query via full-corpus candidates for starved queries."""
+    cands = ann_ivf_candidates(
+        embeddings, queries, k, n_centroids, nprobe, iters, centroids, fallback
     )
-
-    @pandas_udf("array<int>")
-    def probe_udf(emb: pd.Series) -> pd.Series:
-        if emb.empty:
-            return pd.Series([], dtype="object")
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        scores = cnorm2[None, :] - 2.0 * (mat @ cent.T)
-        order = np.argsort(scores, axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
-
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("a_emb"),
-        F.explode(probe_udf("embedding")).alias("cell"),
-    )
-    cand = c.join(q, on="cell").filter(F.col("vec_id") != F.col("query_id"))
-    scored = with_cosine(cand).select("query_id", "vec_id", "cosine")
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
-    approx = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-    if not fallback:
-        return approx
-    counts = approx.groupBy("query_id").agg(F.count("*").alias("_n"))
-    full = approx.join(
-        counts.filter(F.col("_n") >= k).select("query_id"), on="query_id"
-    )
-    starved = queries.join(
-        counts.filter(F.col("_n") >= k).select(F.col("query_id").alias("vec_id")),
-        on="vec_id",
-        how="left_anti",
-    )
-    return full.unionByName(cosine_topk(embeddings, starved, k))
+    return rerank_topk(embeddings, queries, cands, k)

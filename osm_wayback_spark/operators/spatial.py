@@ -339,11 +339,22 @@ def knn_cells(
     remaining = q_all
     r = ring
     for _ in range(max_rounds):
-        approx = _ring_topk(p, remaining, k, res, r).cache()
+        approx = _ring_topk(p, remaining, k, res, r).persist()
         cert = _certified_ids(remaining, approx, k, res, r)
-        good = approx.join(cert, on="query_id", how="inner")
+        # localCheckpoint (eager): materializes this round's results
+        # and the shrunken query set NOW, so the round's persist can
+        # be released immediately instead of accumulating one cache
+        # per round, and later rounds' plans don't re-derive every
+        # prior round. Both frames are small (≤ k rows/query; query
+        # side only).
+        good = approx.join(cert, on="query_id", how="inner").localCheckpoint(
+            eager=True
+        )
         out = good if out is None else out.unionByName(good)
-        remaining = remaining.join(cert, on="query_id", how="left_anti")
+        remaining = remaining.join(
+            cert, on="query_id", how="left_anti"
+        ).localCheckpoint(eager=True)
+        approx.unpersist()
         if remaining.isEmpty():
             remaining = None
             break

@@ -42,13 +42,27 @@ _DEFAULTS = {
     # Timestamps in the synthetic data are naive; keep them stable.
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    # Local-mode heap: the driver JVM hosts every executor thread, so
-    # it needs executor-scale memory. 8g GC-throttled the scaling
-    # bench ~2-3× at 2M+ pages (persist + 16 concurrent tasks); 24g
-    # removes the cliff on this 128 GiB host. On a real cluster this
-    # knob is irrelevant — spark-submit sets executor memory.
-    "spark.driver.memory": "24g",
 }
+
+
+def _driver_memory() -> str:
+    """Local-mode heap: the driver JVM hosts every executor thread, so
+    it needs executor-scale memory. 8g GC-throttled the scaling bench
+    ~2-3× at 2M+ pages (persist + 16 concurrent tasks); 24g removes
+    the cliff on a 128 GiB host. On a real cluster this knob is
+    irrelevant — spark-submit sets executor memory. Overridable via
+    SPARK_GRAFT_DRIVER_MEM; otherwise capped at ~40% of host RAM so
+    the JVM still starts on smaller machines."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(line for line in f if line.startswith("MemTotal")).split()[1])
+        cap_g = max(1, int(kb / 1024 / 1024 * 0.4))
+    except (OSError, StopIteration, ValueError):
+        cap_g = 4
+    return f"{min(24, cap_g)}g"
 
 
 def get_spark(
@@ -72,6 +86,7 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
+    builder = builder.config("spark.driver.memory", _driver_memory())
     if shuffle_partitions is not None:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
