@@ -15,8 +15,20 @@ reconstruction → z15 tiles) at local[N] and local[4N] (default 2
 and 8 — see the _CORES comment), each in a fresh subprocess/JVM;
 efficiency = (thr_4N / thr_N) / 4.
 
+Round-3 protocol refinements (BASELINE.md "Scaling protocol"):
+- each measure subprocess is CPU-affinity-BOUND to exactly its core
+  budget (taskset -c 0..cores-1). local[N] caps JVM task threads but
+  NOT the Python mapInPandas workers, so an unbound "N-core" job
+  borrows idle host cores (measured: the 4-core side ran ~1.4× its
+  budget) — a real N-executor cluster cannot. Binding is the honest
+  analog of executor cgroups; disable with SPARK_GRAFT_BENCH_BIND=0.
+- measure heap default 48g (both sides symmetrically): at sf4.8 /
+  16 cores, 24g G1 spends ~15% of wall in GC (141.9 s → 121.1 s).
+  Override with SPARK_GRAFT_BENCH_MEASURE_MEM.
+
 Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling block,
-SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as usual.
+SPARK_GRAFT_BENCH_STAGED=1 to also time the staged (resumable)
+pipeline variant, SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as usual.
 """
 
 from __future__ import annotations
@@ -37,10 +49,15 @@ _IN_MEASURE = "--measure" in sys.argv
 def _spark(cores: int):
     from osm_wayback_spark.session import get_spark
 
+    # Shuffle-partition multiple of the core count (both sides of the
+    # scaling pair symmetrically): >1 gives multiple waves per stage,
+    # so one straggler task can't idle cores-1 slots for a whole
+    # stage tail. AQE coalesces the excess when partitions are tiny.
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_MULT", "1"))
     s = get_spark(
         app_name=f"bench-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=max(cores * mult, 8),
     )
     s.sparkContext.setLogLevel("ERROR")
     return s
@@ -73,11 +90,26 @@ CORES_N, CORES_4N = (int(x) for x in _CORES.split(","))
 def _scale_pages(spark):
     from osm_wayback_spark.synth import synth_pages
 
-    cache = f"/root/repo/.cache/pages_sf{SCALE_SF}_s"
+    # 96 range-partitioned files (globally url/ts-sorted, same rows/
+    # order as a plain orderBy write): ~14 MB each, so every core
+    # count up to 16 gets ≥6 waves on the extraction stage. 32 coarse
+    # files gave the 16-core scaling side only 2 waves — one straggler
+    # idled up to 15 cores for half a stage (measured ~6 s of the
+    # 16-core wall).
+    cache = f"/root/repo/.cache/pages_sf{SCALE_SF}_s96"
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-        synth_pages(spark, SCALE_SF).orderBy("url", "warc_ts").write.mode(
-            "overwrite"
-        ).parquet(cache)
+        (
+            synth_pages(spark, SCALE_SF)
+            .repartitionByRange(96, "url", "warc_ts")
+            .sortWithinPartitions("url", "warc_ts")
+            .write.mode("overwrite")
+            .parquet(cache)
+        )
+    # Per-byte cost of the extraction kernel is ~30× a plain scan
+    # (gzip + html parse), so the right split size for THIS input is
+    # far below the 128m scan default: 16m → one split per 14 MB file
+    # → ≥6 waves per stage at 16 cores (tail-straggler insurance).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     return spark.read.parquet(cache)
 
 
@@ -96,6 +128,73 @@ def core_job(spark) -> tuple[int, int, float]:
     n_tiles = tiles.count()
     wall = time.time() - t0
     return n_pages, n_tiles, wall
+
+
+def _skew_inputs(spark, hot_versions: int = 150_000, cold_ids: int = 30_000):
+    """Pathological hot-key history-join input: ONE id carrying
+    ``hot_versions`` versions (the 3000-version hot-url pytest at
+    bench scale) plus a uniform cold tail — the shape where an
+    unsalted collect_list sends every hot row to one reducer."""
+    from pyspark.sql import functions as F
+
+    from osm_wayback_spark.schemas import FEATURES
+
+    hot = spark.range(1, hot_versions + 1).select(
+        F.lit("node").alias("element_type"),
+        F.lit(77).cast("long").alias("id"),
+        F.col("id").cast("int").alias("version"),
+        (F.lit(1500000000) + F.col("id")).alias("ts"),
+        (F.col("id") % 50).cast("long").alias("changeset"),
+        F.lit(1).cast("int").alias("uid"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        F.lit(False).alias("deleted"),
+        F.map_from_arrays(
+            F.array(F.lit("v")), F.array(F.col("id").cast("string"))
+        ).alias("tags"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("lonlat"),
+        F.lit(None).cast("array<bigint>").alias("node_refs"),
+    )
+    cold = spark.range(1000, 1000 + cold_ids).select(
+        F.lit("node").alias("element_type"),
+        (F.col("id") + 1000).alias("id"),
+        F.lit(1).cast("int").alias("version"),
+        (F.lit(1500000000) + F.col("id")).alias("ts"),
+        F.lit(1).cast("long").alias("changeset"),
+        F.lit(1).cast("int").alias("uid"),
+        F.lit("u").alias("user"),
+        F.lit(True).alias("visible"),
+        F.lit(False).alias("deleted"),
+        F.map_from_arrays(F.array(F.lit("v")), F.array(F.lit("1"))).alias("tags"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("lonlat"),
+        F.lit(None).cast("array<bigint>").alias("node_refs"),
+    )
+    versions = hot.unionByName(cold)
+    features = spark.createDataFrame(
+        [("node", 77, hot_versions, 1, 1500300000, 1, "u", "{}", {"v": "x"})]
+        + [
+            ("node", 2000 + i, 1, 1, 1500300000, 1, "u", "{}", {"v": "1"})
+            for i in range(0, cold_ids, max(cold_ids // 500, 1))
+        ],
+        schema=FEATURES,
+    )
+    return features, versions
+
+
+def skew_job(spark, salted: bool) -> float:
+    """Timed hot-key history join (AQE skew-join on): returns wall.
+    ``salted`` uses the two-phase salted collect; plain relies on the
+    single-reducer collect_list."""
+    from pyspark.sql import functions as F
+
+    from osm_wayback_spark.operators.history import add_history, add_history_salted
+
+    features, versions = _skew_inputs(spark)
+    fn = add_history_salted if salted else add_history
+    t0 = time.time()
+    out = fn(features, versions)
+    out.select(F.sum(F.size("history"))).collect()
+    return time.time() - t0
 
 
 def measure(cores: int, runs: int = 3) -> dict:
@@ -133,12 +232,29 @@ def measure(cores: int, runs: int = 3) -> dict:
 
 
 def _measure_subprocess(cores: int) -> dict:
+    import shutil
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--measure", str(cores)]
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_BIND", "1") != "0"
+        and shutil.which("taskset")
+    ):
+        # bind the side to exactly its core budget (see module
+        # docstring): JVM task threads AND Python workers share it,
+        # like an executor cgroup would.
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    env = dict(os.environ)
+    env.setdefault(
+        "SPARK_GRAFT_DRIVER_MEM",
+        os.environ.get("SPARK_GRAFT_BENCH_MEASURE_MEM", "48g"),
+    )
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--measure", str(cores)],
+        cmd,
         capture_output=True,
         text=True,
-        timeout=3000,
+        timeout=3600,
         cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=env,
     )
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
@@ -188,6 +304,25 @@ def main() -> None:
         t1 = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t1, 3)
+    # hot-key stress: the salted-vs-plain collect carries a wall
+    # number, not just a pytest equivalence (one 150K-version id)
+    timings["skew_history_plain"] = round(skew_job(spark, salted=False), 3)
+    timings["skew_history_salted"] = round(skew_job(spark, salted=True), 3)
+    if os.environ.get("SPARK_GRAFT_BENCH_STAGED", "0") == "1":
+        # the resumable production shape (per-stage parquet
+        # checkpoints) timed end-to-end from a cold checkpoint dir
+        import shutil as _sh
+        import tempfile
+
+        from osm_wayback_spark import pipeline as _pl
+
+        ckpt = tempfile.mkdtemp(prefix="bench_staged_")
+        try:
+            t1 = time.time()
+            _pl.staged_pipeline(spark, _pages_cache(spark), ckpt).count()
+            timings["pipeline_staged"] = round(time.time() - t1, 3)
+        finally:
+            _sh.rmtree(ckpt, ignore_errors=True)
     total = round(time.time() - t0, 3)
     # build the scaling corpus cache at full parallelism so the
     # measure subprocesses only read it

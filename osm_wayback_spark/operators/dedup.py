@@ -290,25 +290,102 @@ def simhash_pairs(
     )
 
 
+def _cc_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) → (node, component)
+    for every node appearing in ``edges`` (src/dst columns).
+
+    Converges in O(log n) rounds regardless of component diameter —
+    the planet-scale path; min-label propagation (diameter rounds)
+    stays the default because its per-round plan is simpler and the
+    DuckDB recursive-CTE oracle mirrors it directly.
+
+    Edges are kept canonical (u > v). Per round:
+    - large-star: connect every strictly-larger neighbor of u to
+      m(u) = min(Γ(u) ∪ {u})   (over the bidirected edge set)
+    - small-star: connect u and its smaller neighbors to their min.
+    Terminates when the edge set is a fixpoint (then it IS the star:
+    every node points at its component's minimum)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_e = e.count()
+    for _ in range(max_rounds):
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m1 = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .withColumn("m", F.least("_mn", "u"))
+            .select("u", "m")
+        )
+        large = (
+            bidir.join(m1, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(m2, on="u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)  # cut per-round lineage
+        )
+        n_small = small.count()
+        if n_small == n_e and small.exceptAll(e).isEmpty():
+            e = small
+            break
+        e, n_e = small, n_small
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    return (
+        nodes.join(e, nodes.node == e.u, "left")
+        .select("node", F.coalesce(F.col("v"), F.col("node")).alias("component"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "doc_a",
     b: str = "doc_b",
     max_iters: int = 20,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Near-duplicate CLUSTERING: undirected candidate pairs →
     (node, component) with component = min node id reachable.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    (component diameter) rounds — near-dup clusters are shallow, and
+    ``algorithm="minlabel"`` (default): iterative min-label
+    propagation — each round every node takes the min of its own
+    label and its neighbors' labels; converges in (component
+    diameter) rounds — near-dup clusters are shallow, and
     ``max_iters`` bounds the pathological chain. Each round is one
     join + one groupBy on the node id; the per-round driver action is
-    a single converged-count. (At planet scale swap in the
-    large-star/small-star contraction — same invariant, O(log n)
-    rounds — this simple form keeps the DuckDB recursive-CTE oracle
-    exact.)
+    a single converged-count. This simple form keeps the DuckDB
+    recursive-CTE oracle exact.
+
+    ``algorithm="star"``: large-star/small-star contraction —
+    O(log n) rounds regardless of diameter, the planet-scale path
+    (equivalence to minlabel pinned by pytest at sf0.01).
     """
+    if algorithm == "star":
+        edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        return _cc_star(edges, max_rounds=max_iters + 10)
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))

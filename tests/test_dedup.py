@@ -186,3 +186,34 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(pairs, max_iters=3)
     comp = connected_components(pairs, max_iters=40).collect()
     assert {r.component for r in comp} == {0}
+
+
+def test_cc_star_equivalence_sf001(spark):
+    """algorithm="star" (large-star/small-star, O(log n) rounds) must
+    produce exactly the min-label components — which are themselves
+    hash-checked against the DuckDB recursive-CTE oracle by the
+    dedup_clusters driver row — on the real sf0.01 candidate pairs."""
+    from osm_wayback_spark.operators.dedup import connected_components
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes=8), num_hashes=8, bands=4
+    ).localCheckpoint(eager=True)
+    ml = {(r.node, r.component) for r in connected_components(pairs).collect()}
+    st = {
+        (r.node, r.component)
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert ml == st
+
+
+def test_cc_star_long_chain_few_rounds(spark):
+    """A 61-node chain: min-label needs 60 rounds; star contraction
+    converges in O(log n) — well inside 12 rounds."""
+    from osm_wayback_spark.operators.dedup import _cc_star
+
+    chain = [(i, i + 1) for i in range(60)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    comp = _cc_star(edges, max_rounds=12).collect()
+    assert len(comp) == 61
+    assert {r.component for r in comp} == {0}
