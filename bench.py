@@ -259,6 +259,20 @@ def _measure_subprocess(cores: int) -> dict:
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
+    if cmd[0] == "taskset":
+        # affinity syscalls can be restricted (containers/cgroups);
+        # fall back to the unbound protocol rather than failing
+        out = subprocess.run(
+            cmd[3:],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=env,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
     raise RuntimeError(f"measure({cores}) produced no JSON: {out.stderr[-2000:]}")
 
 
