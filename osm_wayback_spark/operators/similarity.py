@@ -326,26 +326,56 @@ def _init_centroids(embeddings: DataFrame, n_centroids: int) -> np.ndarray:
     return np.array([list(r.embedding) for r in rows], dtype=np.float64)
 
 
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize to the unit sphere (zero rows left as zero)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
     iters: int = 3,
     sample_fraction: float | None = None,
+    spherical: bool = True,
 ) -> np.ndarray:
     """Lloyd's k-means, Spark-native: per iteration one pass assigns
     every vector to its nearest centroid (vectorized Arrow matmul),
     then a posexplode + groupBy computes per-dimension means — the
     only driver traffic is the (n_centroids × dim) table. At 100 TB
     train on a sample (``sample_fraction``); assignment stays exact.
+
+    ``spherical`` (default): k-means on the UNIT SPHERE — vectors and
+    centroids normalized, centroid = normalize(mean of unit members).
+    The downstream re-rank metric is cosine, so clustering by
+    direction rather than raw L2 is the matching quantizer. On
+    magnitude-varying direction-clustered corpora (the shape of real
+    unnormalized embeddings) this is decisive — recall@5 0.52 → 1.0
+    at nprobe=1 in test_ivf_spherical_beats_l2; on the driver's
+    weak-cluster uniform-magnitude synthetic it is parity (~0.7 at
+    nprobe=6/16).
     """
     data = embeddings
     if sample_fraction:
         data = data.sample(fraction=sample_fraction, seed=42)
     centroids = _init_centroids(data, n_centroids)
+    if spherical:
+        centroids = _unit_rows(centroids)
     for _ in range(iters):
-        assigned = with_ivf_cell(data, centroids)
+        assigned = with_ivf_cell(data, centroids, spherical)
+        if spherical:
+            # centroid = normalize(mean of UNIT members): normalize
+            # natively before the explode
+            emb_d = F.transform("embedding", lambda x: x.cast("double"))
+            nrm = _norm(emb_d)
+            vec = F.transform(
+                emb_d, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0))
+            )
+        else:
+            vec = F.col("embedding")
         means = (
-            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            assigned.select("cell", F.posexplode(vec).alias("dim", "v"))
             .groupBy("cell", "dim")
             .agg(F.avg("v").alias("m"))
             .collect()
@@ -353,13 +383,17 @@ def train_ivf_centroids(
         new = centroids.copy()
         for r in means:
             new[r.cell, r.dim] = r.m
-        centroids = new
+        centroids = _unit_rows(new) if spherical else new
     return centroids
 
 
-def with_ivf_cell(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
-    """+ ``cell``: index of the nearest centroid (L2), one Arrow
-    matmul per batch; centroids ship in the task closure (small)."""
+def with_ivf_cell(
+    embeddings: DataFrame, centroids: np.ndarray, spherical: bool = True
+) -> DataFrame:
+    """+ ``cell``: index of the nearest centroid, one Arrow matmul
+    per batch; centroids ship in the task closure (small). Spherical:
+    nearest by cosine (rows normalized; with unit centroids the L2
+    argmin formula IS the cosine argmax)."""
     cent = centroids.astype(np.float64)
     cnorm2 = (cent * cent).sum(axis=1)
 
@@ -368,6 +402,8 @@ def with_ivf_cell(embeddings: DataFrame, centroids: np.ndarray) -> DataFrame:
         if emb.empty:
             return pd.Series([], dtype="int32")
         mat = np.stack(emb.to_numpy()).astype(np.float64)
+        if spherical:
+            mat = _unit_rows(mat)
         # argmin ||x-c||² = argmin (||c||² - 2 x·c)
         scores = cnorm2[None, :] - 2.0 * (mat @ cent.T)
         return pd.Series(scores.argmin(axis=1).astype("int32"))
@@ -384,24 +420,31 @@ def ann_ivf_candidates(
     iters: int = 3,
     centroids: np.ndarray | None = None,
     fallback: bool = True,
+    spherical: bool = True,
 ) -> DataFrame:
     """IVF candidate generation → distinct (query_id, vec_id): the
     query's ``nprobe`` nearest centroid cells, equi-joined on cell.
     With ``fallback`` the set is augmented so every query has ≥
-    min(k, N-1) candidates (see _guarantee_k)."""
+    min(k, N-1) candidates (see _guarantee_k). ``spherical`` trains/
+    assigns on the unit sphere — the quantizer that matches the
+    cosine re-rank metric."""
     if centroids is None:
-        centroids = train_ivf_centroids(embeddings, n_centroids, iters)
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, iters, spherical=spherical
+        )
     cent = centroids.astype(np.float64)
     cnorm2 = (cent * cent).sum(axis=1)
     n_probe = min(nprobe, len(cent))
 
-    c = with_ivf_cell(embeddings, centroids).select("vec_id", "cell")
+    c = with_ivf_cell(embeddings, centroids, spherical).select("vec_id", "cell")
 
     @pandas_udf("array<int>")
     def probe_udf(emb: pd.Series) -> pd.Series:
         if emb.empty:
             return pd.Series([], dtype="object")
         mat = np.stack(emb.to_numpy()).astype(np.float64)
+        if spherical:
+            mat = _unit_rows(mat)
         scores = cnorm2[None, :] - 2.0 * (mat @ cent.T)
         order = np.argsort(scores, axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
@@ -430,6 +473,7 @@ def ann_ivf(
     iters: int = 3,
     centroids: np.ndarray | None = None,
     fallback: bool = True,
+    spherical: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: candidates restricted to the query's
     ``nprobe`` nearest centroid cells (equi-join on cell), exact
@@ -438,6 +482,7 @@ def ann_ivf(
     once on a sample, reuse). ``fallback`` guarantees k results per
     query via full-corpus candidates for starved queries."""
     cands = ann_ivf_candidates(
-        embeddings, queries, k, n_centroids, nprobe, iters, centroids, fallback
+        embeddings, queries, k, n_centroids, nprobe, iters, centroids,
+        fallback, spherical,
     )
     return rerank_topk(embeddings, queries, cands, k)

@@ -154,3 +154,44 @@ def test_near_dup_candidates_recall_and_plan(spark):
     plan = near_dup_pairs(df, near_dup_candidates(df), 0.4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_spherical_beats_l2(spark):
+    """Direction-clustered vectors with log-uniform magnitudes (the
+    shape of real unnormalized embeddings): L2 cells split clusters
+    by magnitude, spherical cells follow direction — which is what
+    the cosine re-rank actually scores."""
+    import math
+    import random as rnd
+
+    from osm_wayback_spark.operators.similarity import ann_ivf
+
+    rng = rnd.Random(7)
+    dirs = []
+    for _ in range(8):
+        d = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in d))
+        dirs.append([x / n for x in d])
+    rows = []
+    for i in range(400):
+        base = dirs[i % 8]
+        v = [b + rng.gauss(0, 0.15) for b in base]
+        scale = 10 ** rng.uniform(-1, 1)
+        rows.append((i, [x * scale for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 20")
+    k = 5
+    exact = {}
+    for r in cosine_topk(df, queries, k=k).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(sph):
+        approx = {}
+        out = ann_ivf(df, queries, k=k, n_centroids=8, nprobe=1, spherical=sph)
+        for r in out.collect():
+            approx.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(exact[q] & approx[q]) for q in exact) / (len(exact) * k)
+
+    r_l2, r_sph = recall(False), recall(True)
+    assert r_sph >= 0.9
+    assert r_sph > r_l2 + 0.2
