@@ -32,6 +32,38 @@ def cell_id(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
     return (F.lit(res) * F.lit(_R_SHIFT) + x * F.lit(_X_SHIFT) + y).cast("long")
 
 
+def cell_id_col(lon: Column, lat: Column, res: Column) -> Column:
+    """cell_id with a COLUMN resolution (same math as cell_id, n =
+    2^res computed in-row): lets a mixed-res cell table join against
+    points without any driver-side enumeration of the res values."""
+    import math as _m
+
+    n = F.pow(F.lit(2.0), res.cast("double"))
+    x = (
+        F.greatest(
+            F.lit(0.0),
+            F.least(n - F.lit(1.0), F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)),
+        )
+    ).cast("long")
+    from .tiles import MAX_LAT
+
+    clamped = F.greatest(F.lit(-MAX_LAT), F.least(F.lit(MAX_LAT), lat))
+    rad = F.radians(clamped)
+    merc = F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+    y = (
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                n - F.lit(1.0),
+                F.floor((F.lit(1.0) - merc / F.lit(_m.pi)) / F.lit(2.0) * n),
+            ),
+        )
+    ).cast("long")
+    return (
+        res.cast("long") * F.lit(_R_SHIFT) + x * F.lit(_X_SHIFT) + y
+    ).cast("long")
+
+
 def pack_cell(res: int, x, y) -> int:
     return res * _R_SHIFT + x * _X_SHIFT + y
 

@@ -104,32 +104,28 @@ def point_in_polygon(
     rings_json = GeoJSON Polygon coordinates (outer ring first).
     """
     poly_cells = polyfill(polygons, res)
-    # Huge polygons polyfill at a coarser res (bounded cover); join
-    # the point side once per distinct res actually in use. The
-    # distinct-res set is tiny (≤ res+1) — one cheap driver round.
-    res_used = [
-        r.res_used for r in poly_cells.select("res_used").distinct().collect()
-    ]
+    # Huge polygons polyfill at a coarser res (bounded cover); the
+    # point side computes its cell AT EACH res actually in use, via a
+    # broadcast cross join with the tiny (≤ res+1 rows) distinct-res
+    # set — fully lazy, no driver action (the round-1/2 reviews
+    # flagged the old collect-the-res-values round trip).
     base = points.select(
         F.col(point_id).alias("point_id"),
         F.col(lon).alias("lon"),
         F.col(lat).alias("lat"),
     )
-    cand = None
-    for r in sorted(res_used):
-        pts_r = base.withColumn("cell", cell_id(F.col("lon"), F.col("lat"), r))
-        # Candidate equi-join on cell — the polygon side is typically
-        # the small one; let AQE/broadcast decide, skew-split hot cells.
-        part = pts_r.join(
-            poly_cells.filter(F.col("res_used") == r).drop("res_used"),
-            on="cell",
-            how="inner",
-        )
-        cand = part if cand is None else cand.unionByName(part)
-    if cand is None:
-        return points.sparkSession.createDataFrame(
-            [], "point_id long, polygon_id long"
-        )
+    from ..functions.cells import cell_id_col
+
+    res_set = F.broadcast(poly_cells.select("res_used").distinct())
+    pts_r = base.crossJoin(res_set).withColumn(
+        "cell", cell_id_col(F.col("lon"), F.col("lat"), F.col("res_used"))
+    )
+    # Candidate equi-join on cell (res is packed inside the id) — the
+    # polygon side is typically the small one; let AQE/broadcast
+    # decide, skew-split hot cells.
+    cand = pts_r.drop("res_used").join(
+        poly_cells.drop("res_used"), on="cell", how="inner"
+    )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
