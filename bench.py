@@ -214,9 +214,11 @@ def measure(cores: int, runs: int = 3) -> dict:
     spark.catalog.clearCache()
     core_job(spark)  # full-scale warm pass (JIT at real data shapes)
     best = None
+    walls = []
     for _ in range(runs):
         spark.catalog.clearCache()
         n_pages, n_tiles, wall = core_job(spark)
+        walls.append(round(wall, 3))
         if best is None or wall < best[2]:
             best = (n_pages, n_tiles, wall)
     n_pages, n_tiles, wall = best
@@ -226,6 +228,9 @@ def measure(cores: int, runs: int = 3) -> dict:
         "pages": n_pages,
         "tiles": n_tiles,
         "wall": wall,
+        # every timed pass, not just the min — makes window noise
+        # visible in BENCH_HISTORY instead of hiding in the best-of
+        "walls": walls,
         "pages_per_sec": n_pages / wall,
         "tiles_per_sec": n_tiles / wall,
     }
@@ -357,6 +362,8 @@ def main() -> None:
             "cores_4n": CORES_4N,
             "wall_n": round(lo["wall"], 3),
             "wall_4n": round(hi["wall"], 3),
+            "walls_n": lo.get("walls"),
+            "walls_4n": hi.get("walls"),
             "pages_per_sec_n": round(lo["pages_per_sec"], 1),
             "pages_per_sec_4n": round(hi["pages_per_sec"], 1),
             "tiles_per_sec_n": round(lo["tiles_per_sec"], 1),
