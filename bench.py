@@ -17,14 +17,28 @@ efficiency = (thr_4N / thr_N) / 4.
 
 Round-3 protocol refinements (BASELINE.md "Scaling protocol"):
 - each measure subprocess is CPU-affinity-BOUND to exactly its core
-  budget (taskset -c 0..cores-1). local[N] caps JVM task threads but
-  NOT the Python mapInPandas workers, so an unbound "N-core" job
-  borrows idle host cores (measured: the 4-core side ran ~1.4× its
-  budget) — a real N-executor cluster cannot. Binding is the honest
-  analog of executor cgroups; disable with SPARK_GRAFT_BENCH_BIND=0.
+  budget. local[N] caps JVM task threads but NOT the Python
+  mapInPandas workers, so an unbound "N-core" job borrows idle host
+  cores (measured: the 4-core side ran ~1.4× its budget) — a real
+  N-executor cluster cannot. Binding is the honest analog of executor
+  cgroups; disable with SPARK_GRAFT_BENCH_BIND=0.
 - measure heap default 48g (both sides symmetrically): at sf4.8 /
   16 cores, 24g G1 spends ~15% of wall in GC (141.9 s → 121.1 s).
   Override with SPARK_GRAFT_BENCH_MEASURE_MEM.
+
+Round-4 refinement — INTERLEAVED timed passes: round 3 ran the N and
+4N measure subprocesses sequentially, so the two sides sampled
+DIFFERENT host-noise windows (BENCH_r03 walls: 87–113 s spread on
+the 8-core side alone → efficiency 0.767 vs 0.837 in quiet runs).
+Now both sides start together as coordinated server subprocesses
+bound to DISJOINT core ranges (4N side: cores 0..4N-1; N side:
+cores 4N..5N-1 — disjoint, so the idle side's JVM background
+threads never touch the measured side's cores), warm up
+concurrently, then take turns: one timed pass on side A, then one on
+side B, alternating which side leads each round. Adjacent-in-time
+passes see the same noise epoch; min-combining per side then picks
+the same quiet window for both. Disable (sequential fallback) with
+SPARK_GRAFT_BENCH_INTERLEAVE=0.
 
 Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling block,
 SPARK_GRAFT_BENCH_STAGED=1 to also time the staged (resumable)
@@ -43,7 +57,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-_IN_MEASURE = "--measure" in sys.argv
+_IN_MEASURE = "--measure" in sys.argv or "--measure-server" in sys.argv
 
 
 def _spark(cores: int):
@@ -236,6 +250,155 @@ def measure(cores: int, runs: int = 3) -> dict:
     }
 
 
+def measure_server(cores: int, ctrl_dir: str, samples: int) -> None:
+    """Coordinated measure side (see the module docstring): warm up,
+    announce readiness, then run ONE timed pass per 'go' token from
+    the orchestrator — so the two sides' passes interleave in time
+    and sample the same host-noise windows. Results are written
+    atomically per pass; a final summary mirrors measure()'s dict."""
+    from osm_wayback_spark import pipeline
+    from osm_wayback_spark.operators.tiles import assign_tiles
+    from pyspark.sql import functions as F
+
+    spark = _spark(cores)
+    warm = _scale_pages(spark).limit(100_000)
+    recon = pipeline.reconstruction_pipeline(warm)
+    assign_tiles(recon.filter(F.col("geometry").isNotNull()), z=15).count()
+    spark.catalog.clearCache()
+    core_job(spark)  # full-scale warm pass (JIT at real data shapes)
+    _touch(os.path.join(ctrl_dir, f"ready_{cores}"))
+    best = None
+    walls = []
+    for i in range(samples):
+        go = os.path.join(ctrl_dir, f"go_{cores}_{i}")
+        stop = os.path.join(ctrl_dir, "stop")
+        while not os.path.exists(go):
+            if os.path.exists(stop):
+                spark.stop()
+                return
+            time.sleep(0.2)
+        spark.catalog.clearCache()
+        n_pages, n_tiles, wall = core_job(spark)
+        walls.append(round(wall, 3))
+        if best is None or wall < best[2]:
+            best = (n_pages, n_tiles, wall)
+        _write_atomic(
+            os.path.join(ctrl_dir, f"res_{cores}_{i}.json"),
+            json.dumps({"wall": round(wall, 3)}),
+        )
+    n_pages, n_tiles, wall = best
+    spark.stop()
+    _write_atomic(
+        os.path.join(ctrl_dir, f"done_{cores}.json"),
+        json.dumps(
+            {
+                "cores": cores,
+                "pages": n_pages,
+                "tiles": n_tiles,
+                "wall": wall,
+                "walls": walls,
+                "pages_per_sec": n_pages / wall,
+                "tiles_per_sec": n_tiles / wall,
+            }
+        ),
+    )
+
+
+def _touch(path: str) -> None:
+    with open(path, "w") as fh:
+        fh.write("1")
+
+
+def _write_atomic(path: str, content: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+    os.rename(tmp, path)
+
+
+def _bind_prefix(core_range: str) -> list[str]:
+    import shutil
+
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_BIND", "1") != "0"
+        and shutil.which("taskset")
+    ):
+        return ["taskset", "-c", core_range]
+    return []
+
+
+def _wait_for(path: str, procs: list, timeout: float) -> None:
+    t0 = time.time()
+    while not os.path.exists(path):
+        for p in procs:
+            if p.poll() is not None and p.returncode != 0:
+                raise RuntimeError(
+                    f"measure server exited rc={p.returncode} waiting for {path}"
+                )
+        if time.time() - t0 > timeout:
+            raise RuntimeError(f"timeout waiting for {path}")
+        time.sleep(0.2)
+
+
+def _measure_interleaved(samples: int) -> tuple[dict, dict]:
+    """Run both scaling sides as coordinated servers with interleaved
+    timed passes on DISJOINT core ranges → (lo, hi) result dicts."""
+    import shutil
+    import tempfile
+
+    ctrl = tempfile.mkdtemp(prefix="bench_ctrl_")
+    env = dict(os.environ)
+    env.setdefault(
+        "SPARK_GRAFT_DRIVER_MEM",
+        os.environ.get("SPARK_GRAFT_BENCH_MEASURE_MEM", "48g"),
+    )
+    here = os.path.abspath(__file__)
+    # disjoint binding: 4N side gets cores 0..4N-1, N side the next N
+    cmd_hi = _bind_prefix(f"0-{CORES_4N - 1}") + [
+        sys.executable, here, "--measure-server", str(CORES_4N), ctrl, str(samples)
+    ]
+    cmd_lo = _bind_prefix(f"{CORES_4N}-{CORES_4N + CORES_N - 1}") + [
+        sys.executable, here, "--measure-server", str(CORES_N), ctrl, str(samples)
+    ]
+    procs = []
+    try:
+        for cmd in (cmd_hi, cmd_lo):
+            procs.append(
+                subprocess.Popen(
+                    cmd,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                    cwd=os.path.dirname(here),
+                    env=env,
+                )
+            )
+        # warm-ups run concurrently (disjoint cores; not timed)
+        _wait_for(os.path.join(ctrl, f"ready_{CORES_4N}"), procs, 3000)
+        _wait_for(os.path.join(ctrl, f"ready_{CORES_N}"), procs, 3000)
+        for i in range(samples):
+            # alternate which side leads so neither systematically
+            # gets the "fresher" window within a round
+            order = (CORES_4N, CORES_N) if i % 2 == 0 else (CORES_N, CORES_4N)
+            for cores in order:
+                _touch(os.path.join(ctrl, f"go_{cores}_{i}"))
+                _wait_for(os.path.join(ctrl, f"res_{cores}_{i}.json"), procs, 3000)
+        _wait_for(os.path.join(ctrl, f"done_{CORES_4N}.json"), procs, 600)
+        _wait_for(os.path.join(ctrl, f"done_{CORES_N}.json"), procs, 600)
+        with open(os.path.join(ctrl, f"done_{CORES_N}.json")) as fh:
+            lo = json.load(fh)
+        with open(os.path.join(ctrl, f"done_{CORES_4N}.json")) as fh:
+            hi = json.load(fh)
+        for p in procs:
+            p.wait(timeout=120)
+        return lo, hi
+    finally:
+        _touch(os.path.join(ctrl, "stop"))
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        shutil.rmtree(ctrl, ignore_errors=True)
+
+
 def _measure_subprocess(cores: int) -> dict:
     import shutil
 
@@ -286,6 +449,9 @@ def main() -> None:
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
         print(json.dumps(measure(int(sys.argv[2]), runs=runs)))
         return
+    if len(sys.argv) > 4 and sys.argv[1] == "--measure-server":
+        measure_server(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        return
 
     import __spark_entry__ as entrymod
 
@@ -323,6 +489,15 @@ def main() -> None:
         t1 = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t1, 3)
+    # minhash fast-hash path: native xxhash64 (JVM int64 min) vs the
+    # md5 hex default — md5 exists only for DuckDB oracle parity, so
+    # this is the production configuration's wall number
+    from osm_wayback_spark.operators.dedup import minhash_signatures as _mh
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t1 = time.time()
+    _mh(docs, num_hashes=4, hash_fn="xxhash64").count()
+    timings["minhash_signatures_xxh"] = round(time.time() - t1, 3)
     # hot-key stress: the salted-vs-plain collect carries a wall
     # number, not just a pytest equivalence (one 150K-version id)
     timings["skew_history_plain"] = round(skew_job(spark, salted=False), 3)
@@ -354,9 +529,22 @@ def main() -> None:
         # SYMMETRIC protocol per side (one fresh JVM each, full-scale
         # warm pass, best-of-N timed passes with the cache cleared
         # between them), small core counts for noise isolation — see
-        # the _CORES comment above and BASELINE.md.
-        hi = _measure_subprocess(CORES_4N)
-        lo = _measure_subprocess(CORES_N)
+        # the _CORES comment above and BASELINE.md. Timed passes
+        # INTERLEAVE across the two sides (round-4 refinement: paired
+        # noise windows) unless disabled or the coordination fails.
+        samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+        lo = hi = None
+        if os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVE", "1") != "0":
+            try:
+                lo, hi = _measure_interleaved(samples)
+            except Exception as exc:  # noqa: BLE001
+                print(
+                    f"interleaved scaling failed ({exc}); sequential fallback",
+                    file=sys.stderr,
+                )
+        if lo is None or hi is None:
+            hi = _measure_subprocess(CORES_4N)
+            lo = _measure_subprocess(CORES_N)
         scaling = {
             "cores_n": CORES_N,
             "cores_4n": CORES_4N,

@@ -81,15 +81,38 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(
-    documents: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, n: int = 3
+    documents: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """→ (doc_id, sig_0..sig_{H-1}); sig_i = min over shingles of
-    md5(i || ':' || shingle). One explode + one groupBy(doc_id)."""
+    hash(i-salted shingle). One explode + one groupBy(doc_id).
+
+    ``hash_fn="md5"`` (default): hex-string min — the oracle-parity
+    configuration (Spark and DuckDB md5 agree bit-for-bit, and the
+    lexicographic min over hex ≡ min over the 128-bit integer).
+    ``hash_fn="xxhash64"``: native 64-bit integer hash (JVM
+    whole-stage-codegen, no hex materialization) — the throughput
+    path at planet scale where DuckDB parity is not needed; the
+    per-hash salt rides as a literal int column, not a string concat.
+    Downstream banding (lsh_candidate_pairs) works on either: the
+    band hash md5(concat_ws) stringifies longs deterministically."""
     sh = doc_shingles(documents, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "md5":
+        aggs = [
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+            ).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     return sh.groupBy("doc_id").agg(*aggs)
 
 

@@ -157,28 +157,98 @@ def rerank_topk(
     )
 
 
+def _ensure_checkpoint_dir(df: DataFrame) -> None:
+    import os
+    import tempfile
+
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "osm_wayback_spark_ckpt")
+        )
+
+
 def _guarantee_k(
-    embeddings: DataFrame, queries: DataFrame, cands: DataFrame, k: int
+    embeddings: DataFrame,
+    queries: DataFrame,
+    cands: DataFrame,
+    k: int,
+    escalate=None,
 ) -> DataFrame:
-    """Guaranteed-k augmentation: queries with fewer than k candidates
-    (empty/sparse buckets) get the FULL corpus as candidates — the
-    exact broadcast path, expressed as candidate rows so the re-rank
-    stays one shape. ``cands`` is persisted: counts, the sated join
-    and the starved anti-join all reuse it instead of recomputing the
-    bucket-join DAG (the round-2 advice finding)."""
+    """Guaranteed-k augmentation for queries with fewer than k
+    candidates (empty/sparse buckets):
+
+    1. ``escalate`` (when given): ONE bounded widening round — a
+       callable (starved queries DF, same (vec_id, embedding) shape)
+       → wider candidate set (e.g. doubled multiprobe radius /
+       doubled nprobe). Starved queries sated by the wider set use it.
+    2. Remaining starved queries get the FULL corpus as candidates —
+       the exact broadcast path, expressed as candidate rows so the
+       re-rank stays one shape.
+
+    ``cands`` is persisted while the counts + joins run (no recompute
+    of the bucket-join DAG — the round-2 advice finding), the final
+    union is EAGERLY reliable-checkpointed (truncated lineage, reads
+    from checkpoint files), and every intermediate persist is released
+    before returning — no cached frame outlives the call (the round-3
+    advice finding; pytest-asserted via getPersistentRDDs)."""
+    _ensure_checkpoint_dir(cands)
     cands = cands.persist()
-    counts = cands.groupBy("query_id").agg(F.count("*").alias("_n"))
-    sated = counts.filter(F.col("_n") >= k).select("query_id")
-    starved = queries.join(
-        sated.withColumnRenamed("query_id", "vec_id"), on="vec_id", how="left_anti"
-    ).select(F.col("vec_id").alias("query_id"))
-    starved_cands = embeddings.select("vec_id").crossJoin(
-        F.broadcast(starved)
-    ).filter(F.col("vec_id") != F.col("query_id"))
-    return (
-        cands.join(F.broadcast(sated), on="query_id")
-        .unionByName(starved_cands.select("query_id", "vec_id"))
-    )
+    esc = None
+    try:
+        counts = cands.groupBy("query_id").agg(F.count("*").alias("_n"))
+        sated = counts.filter(F.col("_n") >= k).select("query_id")
+        starved = queries.join(
+            sated.withColumnRenamed("query_id", "vec_id"),
+            on="vec_id",
+            how="left_anti",
+        )
+        parts = [cands.join(F.broadcast(sated), on="query_id")]
+        if escalate is not None:
+            # bounded escalation: the widened probe set is a SUPERSET
+            # of the original buckets for these queries, so the base
+            # candidates need not be re-unioned
+            esc = escalate(starved).persist()
+            esc_counts = esc.groupBy("query_id").agg(F.count("*").alias("_n"))
+            esc_sated = esc_counts.filter(F.col("_n") >= k).select("query_id")
+            parts.append(esc.join(F.broadcast(esc_sated), on="query_id"))
+            starved = starved.join(
+                esc_sated.withColumnRenamed("query_id", "vec_id"),
+                on="vec_id",
+                how="left_anti",
+            )
+        starved_ids = starved.select(F.col("vec_id").alias("query_id"))
+        full = (
+            embeddings.select("vec_id")
+            .crossJoin(F.broadcast(starved_ids))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+        parts.append(full)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.checkpoint(eager=True)
+    finally:
+        cands.unpersist()
+        if esc is not None:
+            esc.unpersist()
+
+
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks for multiprobe radius ``radius``: every non-empty
+    bit subset of size ≤ radius (radius 1 ≡ the original single-bit
+    flips, in the same order)."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
 
 
 def ann_lsh_candidates(
@@ -189,12 +259,17 @@ def ann_lsh_candidates(
     tables: int = 8,
     probes: int = 1,
     fallback: bool = True,
+    escalate: bool = True,
 ) -> DataFrame:
     """LSH candidate generation → distinct (query_id, vec_id): the
     query's bucket neighborhood across ``tables`` independent hash
-    tables (OR-amplification), plus single-bit-flip multiprobe buckets
-    when ``probes`` ≥ 1. With ``fallback`` the set is augmented so
-    every query has ≥ min(k, N-1) candidates (see _guarantee_k)."""
+    tables (OR-amplification), plus radius-``probes`` multiprobe
+    buckets (all ≤ probes-bit flips). With ``fallback`` the set is
+    augmented so every query has ≥ min(k, N-1) candidates
+    (see _guarantee_k); ``escalate`` inserts one bounded widening
+    round (probe radius doubled) for starved queries before the
+    full-corpus exact fallback — at planet scale the doubled-radius
+    bucket probe is orders cheaper than a corpus sweep."""
     c = lsh_bucket_rows(embeddings, n_planes, tables).select("vec_id", "bucket")
     q = lsh_bucket_rows(queries, n_planes, tables).select(
         F.col("vec_id").alias("query_id"), "bucket"
@@ -204,8 +279,8 @@ def ann_lsh_candidates(
         probe_buckets = F.array(
             F.col("bucket"),
             *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                for b in range(n_planes)
+                F.col("bucket").bitwiseXOR(F.lit(m))
+                for m in _probe_masks(n_planes, probes)
             ],
         )
         q = q.withColumn("bucket", F.explode(probe_buckets))
@@ -219,7 +294,16 @@ def ann_lsh_candidates(
     )
     if not fallback:
         return cands
-    return _guarantee_k(embeddings, queries, cands, k)
+
+    esc = None
+    if escalate:
+        def esc(starved):
+            return ann_lsh_candidates(
+                embeddings, starved, k, n_planes, tables,
+                probes=max(probes, 1) * 2, fallback=False,
+            )
+
+    return _guarantee_k(embeddings, queries, cands, k, escalate=esc)
 
 
 def ann_lsh(
@@ -230,6 +314,7 @@ def ann_lsh(
     tables: int = 8,
     probes: int = 1,
     fallback: bool = True,
+    escalate: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket neighborhood, exact cosine re-rank within. → (query_id,
@@ -239,11 +324,12 @@ def ann_lsh(
     Recall levers (defaults tuned so recall@5 ≥ 0.8 on the driver
     embeddings, pytest-enforced): ``tables`` (OR-amplification, one
     matmul computes all tables' bits), ``probes`` (multiprobe radius,
-    native bitwiseXOR explode), ``fallback`` (guaranteed k results per
-    query via full-corpus candidates for starved queries).
+    native bitwiseXOR explode), ``fallback`` (guaranteed k results
+    per query — one doubled-radius ``escalate`` round, then
+    full-corpus candidates for queries still starved).
     """
     cands = ann_lsh_candidates(
-        embeddings, queries, k, n_planes, tables, probes, fallback
+        embeddings, queries, k, n_planes, tables, probes, fallback, escalate
     )
     return rerank_topk(embeddings, queries, cands, k)
 
@@ -392,9 +478,15 @@ def with_ivf_cell(
 ) -> DataFrame:
     """+ ``cell``: index of the nearest centroid, one Arrow matmul
     per batch; centroids ship in the task closure (small). Spherical:
-    nearest by cosine (rows normalized; with unit centroids the L2
-    argmin formula IS the cosine argmax)."""
+    nearest by cosine — rows AND centroids are unit-normalized here
+    (idempotent for centroids trained spherically; essential for
+    user-supplied raw centroids, which would otherwise be scored
+    unnormalized through the L2 argmin formula — neither L2- nor
+    cosine-nearest; the round-3 advice finding). With unit centroids
+    the L2 argmin formula IS the cosine argmax."""
     cent = centroids.astype(np.float64)
+    if spherical:
+        cent = _unit_rows(cent)
     cnorm2 = (cent * cent).sum(axis=1)
 
     @pandas_udf("int")
@@ -421,18 +513,24 @@ def ann_ivf_candidates(
     centroids: np.ndarray | None = None,
     fallback: bool = True,
     spherical: bool = True,
+    escalate: bool = True,
 ) -> DataFrame:
     """IVF candidate generation → distinct (query_id, vec_id): the
     query's ``nprobe`` nearest centroid cells, equi-joined on cell.
     With ``fallback`` the set is augmented so every query has ≥
-    min(k, N-1) candidates (see _guarantee_k). ``spherical`` trains/
+    min(k, N-1) candidates (see _guarantee_k); ``escalate`` inserts
+    one bounded widening round (nprobe doubled) for starved queries
+    before the full-corpus exact fallback. ``spherical`` trains/
     assigns on the unit sphere — the quantizer that matches the
-    cosine re-rank metric."""
+    cosine re-rank metric (user-supplied ``centroids`` are
+    unit-normalized on use, see with_ivf_cell)."""
     if centroids is None:
         centroids = train_ivf_centroids(
             embeddings, n_centroids, iters, spherical=spherical
         )
     cent = centroids.astype(np.float64)
+    if spherical:
+        cent = _unit_rows(cent)
     cnorm2 = (cent * cent).sum(axis=1)
     n_probe = min(nprobe, len(cent))
 
@@ -461,7 +559,16 @@ def ann_ivf_candidates(
     )
     if not fallback:
         return cands
-    return _guarantee_k(embeddings, queries, cands, k)
+
+    esc = None
+    if escalate and n_probe < len(cent):
+        def esc(starved):
+            return ann_ivf_candidates(
+                embeddings, starved, k, n_centroids, nprobe * 2, iters,
+                centroids=cent, fallback=False, spherical=spherical,
+            )
+
+    return _guarantee_k(embeddings, queries, cands, k, escalate=esc)
 
 
 def ann_ivf(
@@ -474,15 +581,18 @@ def ann_ivf(
     centroids: np.ndarray | None = None,
     fallback: bool = True,
     spherical: bool = True,
+    escalate: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: candidates restricted to the query's
     ``nprobe`` nearest centroid cells (equi-join on cell), exact
     cosine re-rank within. → (query_id, vec_id, cosine, rank).
     Pass precomputed ``centroids`` to skip training (production: train
-    once on a sample, reuse). ``fallback`` guarantees k results per
-    query via full-corpus candidates for starved queries."""
+    once on a sample, reuse; raw centroids are unit-normalized when
+    ``spherical``). ``fallback`` guarantees k results per query — one
+    doubled-nprobe ``escalate`` round, then full-corpus candidates
+    for queries still starved."""
     cands = ann_ivf_candidates(
         embeddings, queries, k, n_centroids, nprobe, iters, centroids,
-        fallback, spherical,
+        fallback, spherical, escalate,
     )
     return rerank_topk(embeddings, queries, cands, k)

@@ -39,6 +39,9 @@ _DEFAULTS = {
     # yields units of work far smaller than executor memory.
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Eager reliable checkpoints (ANN candidate materialization) are
+    # deleted when their RDD is GC'd instead of accumulating on disk.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     # Timestamps in the synthetic data are naive; keep them stable.
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",

@@ -60,6 +60,30 @@ def test_lsh_finds_exact_and_near_dups(docs):
     assert (4, 5) not in pairs  # unrelated docs shouldn't
 
 
+def test_minhash_xxhash64_fast_path(docs):
+    """The native-hash production path: long signatures, identical
+    texts get identical signatures, and the downstream LSH banding
+    behaves the same (identical docs collide in every band, unrelated
+    docs don't)."""
+    sigs = minhash_signatures(docs, num_hashes=12, hash_fn="xxhash64")
+    rows = {r.doc_id: r for r in sigs.collect()}
+    assert all(
+        isinstance(getattr(rows[1], f"sig_{i}"), int) for i in range(12)
+    )
+    for i in range(12):
+        assert getattr(rows[1], f"sig_{i}") == getattr(rows[2], f"sig_{i}")
+    # signatures of unrelated docs differ somewhere
+    assert any(
+        getattr(rows[4], f"sig_{i}") != getattr(rows[5], f"sig_{i}")
+        for i in range(12)
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs, 12, 4).collect()}
+    assert (1, 2) in pairs
+    assert (4, 5) not in pairs
+    with pytest.raises(ValueError):
+        minhash_signatures(docs, hash_fn="sha1")
+
+
 def test_minhash_dedup_verified_jaccard(docs):
     got = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_dedup(docs, threshold=0.3).collect()}
     assert got[(1, 2)] == 1.0

@@ -156,6 +156,84 @@ def test_near_dup_candidates_recall_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ann_leaves_no_persisted_frames(spark, emb):
+    """_guarantee_k persists intermediates while augmenting, but must
+    release every cache before returning (round-3 advice: a bench
+    loop of ann_* calls otherwise accumulates cached frames until
+    LRU eviction). The materialized candidate set is a reliable
+    checkpoint (disk, GC-cleaned), not a cache."""
+    _rows, df = emb
+    queries = df.filter("vec_id < 5")
+
+    def persisted_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k.toString()) for k in jmap.keySet().toArray()}
+
+    before = persisted_ids()
+    from osm_wayback_spark.operators.similarity import ann_ivf
+
+    ann_lsh(df, queries, k=3, n_planes=4).count()
+    ann_ivf(df, queries, k=3, n_centroids=4, nprobe=1).count()
+    leaked = persisted_ids() - before
+    assert not leaked, f"persisted RDDs leaked by ann_* calls: {leaked}"
+
+
+def test_guarantee_k_bounded_escalation(spark):
+    """Starved queries take ONE bounded widening round before the
+    full-corpus exact fallback: a query the escalation sates gets
+    EXACTLY the escalated candidates (not a corpus sweep); a query
+    still starved after escalation gets the full corpus."""
+    from osm_wayback_spark.operators.similarity import _guarantee_k
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 11)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter("vec_id <= 3")
+    k = 3
+    cands = spark.createDataFrame(
+        [(1, v) for v in (5, 6, 7, 8, 9)] + [(2, 5)],
+        "query_id long, vec_id long",
+    )
+    seen = {}
+
+    def escalate(starved):
+        seen["ids"] = {r.vec_id for r in starved.collect()}
+        return spark.createDataFrame(
+            [(2, 4), (2, 5), (2, 6), (3, 4)], "query_id long, vec_id long"
+        )
+
+    out = _guarantee_k(corpus, queries, cands, k, escalate=escalate)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert seen["ids"] == {2, 3}  # only the starved queries escalate
+    assert got[1] == {5, 6, 7, 8, 9}  # sated: untouched
+    assert got[2] == {4, 5, 6}  # escalated-sated: bounded set, no sweep
+    assert got[3] == set(range(1, 11)) - {3}  # still starved: full corpus
+
+
+def test_ivf_user_centroids_normalized_when_spherical(spark):
+    """Round-3 advice: a caller passing RAW (unnormalized) centroids
+    with spherical=True must get cosine-nearest assignment — the
+    centroids are unit-normalized on use, so scaling a centroid must
+    not change any cell assignment."""
+    import numpy as np
+
+    from osm_wayback_spark.operators.similarity import with_ivf_cell
+
+    rng = np.random.default_rng(11)
+    cent = rng.normal(size=(4, 8))
+    scaled = cent * np.array([[1.0], [50.0], [0.02], [7.0]])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    a = {r.vec_id: r.cell for r in with_ivf_cell(df, cent, True).collect()}
+    b = {r.vec_id: r.cell for r in with_ivf_cell(df, scaled, True).collect()}
+    assert a == b
+
+
 def test_ivf_spherical_beats_l2(spark):
     """Direction-clustered vectors with log-uniform magnitudes (the
     shape of real unnormalized embeddings): L2 cells split clusters
