@@ -32,10 +32,9 @@ def cell_id(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
     return (F.lit(res) * F.lit(_R_SHIFT) + x * F.lit(_X_SHIFT) + y).cast("long")
 
 
-def cell_id_col(lon: Column, lat: Column, res: Column) -> Column:
-    """cell_id with a COLUMN resolution (same math as cell_id, n =
-    2^res computed in-row): lets a mixed-res cell table join against
-    points without any driver-side enumeration of the res values."""
+def tile_xy_cols(lon: Column, lat: Column, res: Column) -> tuple[Column, Column]:
+    """(x, y) tile coordinates with a COLUMN resolution (same math as
+    functions.tiles.tile_x/tile_y, n = 2^res computed in-row)."""
     import math as _m
 
     n = F.pow(F.lit(2.0), res.cast("double"))
@@ -59,9 +58,40 @@ def cell_id_col(lon: Column, lat: Column, res: Column) -> Column:
             ),
         )
     ).cast("long")
+    return x, y
+
+
+def pack_cell_cols(res: Column, x: Column, y: Column) -> Column:
+    """Column twin of pack_cell."""
     return (
-        res.cast("long") * F.lit(_R_SHIFT) + x * F.lit(_X_SHIFT) + y
+        res.cast("long") * F.lit(_R_SHIFT) + x.cast("long") * F.lit(_X_SHIFT) + y
     ).cast("long")
+
+
+def parent_cell_cols(res_fine: Column, x: Column, y: Column, res: Column) -> Column:
+    """Cell id at the COARSER resolution ``res`` derived from finest-
+    res tile coordinates by pure integer math: the quadtree parent is
+    x >> Δ, y >> Δ (Δ = res_fine - res). Exact — floor(v·2^rf) >> Δ
+    = floor(v·2^(rf-Δ)) for v ≥ 0, and the [0, 2^r-1] clamps commute
+    with the shift — so this equals computing tile_xy_cols directly
+    at ``res``, without re-running the trig per resolution."""
+    # x >> Δ for non-negative x, as exact double math (x < 2^29 and
+    # 2^Δ are both exact doubles; the Python shiftright wrapper only
+    # takes a literal shift)
+    div = F.pow(F.lit(2.0), (res_fine - res).cast("double"))
+    return pack_cell_cols(
+        res,
+        F.floor(x.cast("double") / div).cast("long"),
+        F.floor(y.cast("double") / div).cast("long"),
+    )
+
+
+def cell_id_col(lon: Column, lat: Column, res: Column) -> Column:
+    """cell_id with a COLUMN resolution: lets a mixed-res cell table
+    join against points without any driver-side enumeration of the
+    res values."""
+    x, y = tile_xy_cols(lon, lat, res)
+    return pack_cell_cols(res, x, y)
 
 
 def pack_cell(res: int, x, y) -> int:

@@ -374,7 +374,14 @@ def reconstruct_feature(
 
     if element_type == "node":
         hg = _build_node(history)
-    elif node_locations:
+    elif node_locations is not None:
+        # KEY PRESENCE, not truthiness (map-geom-reconstruction.js:82
+        # checks `'nodeLocations' in properties`): a way with a
+        # present-but-EMPTY nodeLocations map still gets a
+        # WayGeometryBuilder (degraded empty-coordinate geometries),
+        # it is not skipped. The pipeline itself never produces {}
+        # (unresolvable ways carry NULL — locations.py inner join),
+        # so this only affects direct API callers — round-3 advice.
         hg = _build_way(history, node_locations)
     elif element_type == "relation":
         hg = _build_relation(history, current_geometry)

@@ -331,7 +331,9 @@ def reconstruct_objects(
                     cols["n_versions"].append(0)
                     continue
                 builder_defined = (
-                    et == "node" or bool(nl) or et == "relation"
+                    # key presence, not truthiness — js:82, see
+                    # _reconstruct_core.reconstruct_feature
+                    et == "node" or nl is not None or et == "relation"
                 )
                 if not builder_defined:
                     # js:96-98/276-278 geometryBuilderFailedToDefine:

@@ -41,6 +41,82 @@ def extract_text(html_bytes: bytes) -> str:
     return "\n".join(_html.unescape(m) for m in _P_RE.findall(doc))
 
 
+def _probe_lxml():
+    """Pillow-pattern probe (see operators/multimodal.py): import the
+    optional real-HTML parser at call time, never at module import."""
+    try:
+        import lxml.html as lh  # noqa: PLC0415
+
+        return lh
+    except ImportError:
+        return None
+
+
+class _PTextParser:
+    """Tolerant <p>-text extraction on the stdlib HTMLParser: handles
+    unclosed tags, attributes, case-insensitive tag names, and the
+    browser rule that a new <p> implicitly closes an open one. Used
+    when lxml is absent (it is stdlib, so the tolerant path always
+    exists)."""
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class _P(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__(convert_charrefs=True)
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "p":
+                    outer._flush()
+                    outer.open = True
+
+            def handle_endtag(self, tag):
+                if tag == "p":
+                    outer._flush()
+
+            def handle_data(self, data):
+                if outer.open:
+                    outer.cur.append(data)
+
+        self.open = False
+        self.cur: list[str] = []
+        self.parts: list[str] = []
+        self._parser = _P()
+
+    def _flush(self) -> None:
+        if self.open:
+            self.parts.append("".join(self.cur))
+        self.open = False
+        self.cur = []
+
+    def run(self, doc: str) -> str:
+        self._parser.feed(doc)
+        self._parser.close()
+        self._flush()  # unclosed trailing <p>
+        return "\n".join(self.parts)
+
+
+def extract_text_tolerant(html_bytes: bytes) -> str:
+    """Real-crawl text extraction: a TOLERANT HTML parse (lxml when
+    installed, else the stdlib html.parser) instead of the regex fast
+    path — survives unclosed/malformed markup, attributes, and case
+    variation that `_P_RE` would mis-slice. On the well-formed
+    synthetic microformat it agrees with ``extract_text`` (pytest-
+    pinned); the regex/locate path stays the default because the
+    synthetic corpus is format-guaranteed and the reference's own
+    extraction (osmium export, run.sh:20) is equally
+    input-format-bound."""
+    doc = html_bytes.decode("utf-8", errors="replace")
+    lh = _probe_lxml()
+    if lh is not None:
+        tree = lh.document_fromstring(doc)
+        return "\n".join(p.text_content() for p in tree.iter("p"))
+    return _PTextParser().run(doc)
+
+
 def extract_island(html_bytes: bytes) -> dict | None:
     doc = html_bytes.decode("utf-8", errors="replace")
     m = _ISLAND_RE.search(doc)

@@ -361,7 +361,7 @@ def reconstruct_features(
 
     if element_type == "node":  # js:74-80
         hg = _node_historical_geometries(history)
-    elif node_locations:  # js:83-89
+    elif node_locations is not None:  # js:83-89 — KEY presence (js:82)
         hg = _way_historical_geometries(history, node_locations)
     elif element_type == "relation":  # js:92-97
         hg = _relation_historical_geometries(history, geometry)

@@ -17,6 +17,49 @@ def test_text_extraction_byte_identical_local():
         assert extract_text(html) == text  # byte-identical per url
 
 
+def test_tolerant_parser_agrees_on_synthetic():
+    """extract_text_tolerant must agree with the regex fast path on
+    the format-guaranteed synthetic corpus (modulo the parser's
+    whitespace-exactness — the synthetic corpus has none to lose)."""
+    from osm_wayback_spark.sources.extract import extract_text_tolerant
+
+    pdf = synth_pages_local(SF)
+    for html, text in zip(pdf["html"][:200], pdf["text"][:200]):
+        assert extract_text_tolerant(html) == text
+
+
+def test_tolerant_parser_handles_malformed_html():
+    """Malformed-but-parseable real-crawl markup: unclosed <p>,
+    attributes, uppercase tags, implicit close by a following <p>.
+    The regex fast path mis-slices all of these; the tolerant path
+    must recover the paragraph text."""
+    from osm_wayback_spark.sources.extract import extract_text_tolerant
+
+    doc = (
+        b"<html><body>"
+        b'<P CLASS="lead">first &amp; foremost'  # unclosed + attrs + entity
+        b"<p>second one</p>"
+        b"<div>ignored</div>"
+        b"<p>third trailing"  # unclosed at EOF
+        b"</body></html>"
+    )
+    got = extract_text_tolerant(doc)
+    assert got.splitlines() == ["first & foremost", "second one", "third trailing"]
+
+
+def test_tolerant_parser_lxml_path():
+    """When lxml is installed the tolerant path uses it; skip
+    otherwise (the stdlib fallback is covered above)."""
+    import pytest
+
+    from osm_wayback_spark.sources.extract import _probe_lxml, extract_text_tolerant
+
+    if _probe_lxml() is None:
+        pytest.skip("lxml not installed")
+    doc = b"<p>alpha<p>beta</p>"
+    assert extract_text_tolerant(doc).splitlines() == ["alpha", "beta"]
+
+
 def test_island_parses_every_page():
     pdf = synth_pages_local(SF)
     for html in pdf["html"]:

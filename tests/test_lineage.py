@@ -32,6 +32,28 @@ def test_stage_checkpoint_and_resume(spark, tmp_path):
     assert calls["n"] == 2
 
 
+def test_lineage_pass_is_jvm_native(spark):
+    """The metrics pass must not ship stage data through Python: no
+    BatchEvalPython / ArrowEvalPython / mapInPandas in its plan, and
+    the checksum must be deterministic but order/content-sensitive."""
+    df = spark.range(0, 1000).selectExpr(
+        "id", "map('k', cast(id as string)) AS tags", "cast(id as double) AS v"
+    )
+    agg = lineage.partition_metrics(df)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    rows = {r.partition_id: r for r in agg.collect()}
+    again = {r.partition_id: r for r in lineage.partition_metrics(df).collect()}
+    assert {p: (r.rows_out, r.checksum) for p, r in rows.items()} == {
+        p: (r.rows_out, r.checksum) for p, r in again.items()
+    }
+    assert sum(r.rows_out for r in rows.values()) == 1000
+    mutated = df.withColumn("v", lineage.F.col("v") + 1)
+    changed = {r.partition_id: r.checksum for r in lineage.partition_metrics(mutated).collect()}
+    assert changed != {p: r.checksum for p, r in rows.items()}
+
+
 def test_incomplete_stage_recomputed(spark, tmp_path):
     import os
 

@@ -177,6 +177,23 @@ def test_reconstruct_way_polygon_reclosure():
     assert g["coordinates"] == [[[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [0.0, 0.0]]]
 
 
+def test_way_empty_node_locations_key_presence():
+    """js:82 checks key PRESENCE of nodeLocations, not truthiness: a
+    way with a present-but-EMPTY map still gets a WayGeometryBuilder
+    (degraded empty-coordinate geometries), while an ABSENT (None)
+    map skips the line entirely (round-3 advice; the pipeline itself
+    only ever produces None for unresolvable ways)."""
+    history = [
+        {"i": 1, "c": 10, "t": 1000, "u": 1, "h": "a",
+         "n": [1, 2], "aA": {"highway": "yes"}},
+    ]
+    cur = {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0]]}
+    with_empty = reconstruct_feature("way", 9, cur, history, {})
+    assert len(with_empty) == 1  # builder defined, degraded geometry
+    assert with_empty[0]["geometry"]["coordinates"] == []
+    assert reconstruct_feature("way", 9, cur, history, None) == []
+
+
 def test_way_validity_rechaining_with_minors():
     # major v1 at t=1000, v2 at t=10000; node 2 edited at 5000 by a
     # foreign changeset → v1 gets minor 1; chains:

@@ -149,7 +149,11 @@ def test_near_dup_candidates_recall_and_plan(spark):
         for r in near_dup_pairs(df, cands, 0.4).collect()
     }
     assert found <= exact
-    assert len(found) / len(exact) >= 0.9
+    # the docstring claims >= 0.95 for the defaults — gate at that
+    # level (round-3 advice): this pytest is the ONLY completeness
+    # guard, since the DuckDB oracle verifies the threshold step over
+    # the engine's own candidates, not candidate completeness
+    assert len(found) / len(exact) >= 0.95
 
     plan = near_dup_pairs(df, near_dup_candidates(df), 0.4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan

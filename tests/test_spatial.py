@@ -98,6 +98,54 @@ def test_pip_huge_polygon_coarsens_not_blows(spark, pts):
     assert got == exp
 
 
+def test_parent_cell_derivation_exact(spark):
+    """The single-pass PIP point side derives coarser-res cells from
+    the finest-res (x, y) by integer math; must equal computing
+    cell_id_col directly at each res — including clamp edges (±180
+    lon, beyond-Mercator lats)."""
+    from osm_wayback_spark.functions.cells import (
+        cell_id_col,
+        parent_cell_cols,
+        tile_xy_cols,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, rng.uniform(-180, 180), rng.uniform(-89, 89)) for i in range(300)]
+    rows += [
+        (1000, -180.0, 0.0), (1001, 180.0, 0.0), (1002, 0.0, 89.9),
+        (1003, 0.0, -89.9), (1004, 179.9999, 85.05), (1005, -179.9999, -85.05),
+    ]
+    df = spark.createDataFrame(rows, "point_id long, lon double, lat double")
+    rmax = 12
+    xf, yf = tile_xy_cols(F.col("lon"), F.col("lat"), F.lit(rmax))
+    base = df.withColumns({"_xf": xf, "_yf": yf})
+    for r in (2, 5, 9, 12):
+        out = base.select(
+            "point_id",
+            parent_cell_cols(
+                F.lit(rmax), F.col("_xf"), F.col("_yf"), F.lit(r)
+            ).alias("derived"),
+            cell_id_col(F.col("lon"), F.col("lat"), F.lit(r)).alias("direct"),
+        ).collect()
+        for row in out:
+            assert row.derived == row.direct, (r, row.point_id)
+
+
+def test_pip_single_pass_point_side(spark, pts):
+    """The point side's expensive projection appears ONCE in the plan
+    (one tan/log pair), not once per distinct res in use."""
+    rows, pdf = pts
+    big = [[[-179.0, -80.0], [179.0, -80.0], [179.0, 80.0], [-179.0, 80.0], [-179.0, -80.0]]]
+    small = [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]]
+    poly_df = spark.createDataFrame(
+        [(1, json.dumps(big)), (2, json.dumps(small))],
+        "polygon_id long, rings_json string",
+    )
+    out = point_in_polygon(pdf, poly_df, res=12)  # mixed res guaranteed
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("TAN(") == 1, plan
+
+
 def test_knn_exact_matches_brute(spark, pts):
     from osm_wayback_spark.operators.spatial import knn_exact
 

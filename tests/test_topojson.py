@@ -99,6 +99,84 @@ def test_to_topojson_history_is_json():
     assert parsed["objects"]["0"]["type"] == "LineString"
 
 
+def test_nohistory_edge_cases_pinned(spark):
+    """Pin the two INTENTIONAL noHistory divergences from the
+    reference (round-3 advice — acceptable under the default config,
+    must not drift silently):
+
+    1. A present-but-EMPTY @history array is treated as noHistory
+       here (row passes through, n_versions=0); the reference defines
+       a builder and, in complete mode, writes '[]' with the
+       '@histrory' string property.
+    2. Under GEOMETRY_ONLY=true the noHistory line is the REBUILT
+       object with properties stripped to @validSince/@validUntil;
+       the reference re-emits the ORIGINAL line verbatim before any
+       stripping. (With the default GEOMETRY_ONLY=false the rebuilt
+       object carries the full original properties — no divergence.)
+    """
+    import pyspark.sql.functions as F
+
+    from osm_wayback_spark import pipeline
+    from osm_wayback_spark.operators.history import add_history
+    from osm_wayback_spark.operators.locations import add_node_locations
+    from osm_wayback_spark.operators.reconstruction import reconstruct_objects
+    from osm_wayback_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 0.001)
+    t = pipeline.build_tables(pages)
+    geom = add_node_locations(
+        add_history(t["features"], t["versions"]), t["node_locations"]
+    )
+    empty_hist = geom.withColumn(
+        "history", F.array().cast(geom.schema["history"].dataType)
+    ).limit(10)
+    rows = reconstruct_objects(empty_hist, mode="complete").collect()
+    assert len(rows) == 10  # every row passes through…
+    for r in rows:
+        assert r.n_versions == 0
+        obj = json.loads(r.object_json)
+        assert r.line_json == r.object_json  # …as the rebuilt object
+        assert "@histrory" not in obj["properties"]  # divergence 1
+        assert obj["properties"]["@type"] == r.element_type
+
+    stripped = reconstruct_objects(
+        empty_hist, mode="complete", config={"GEOMETRY_ONLY": True}
+    ).collect()
+    for r in stripped:
+        props = json.loads(r.line_json)["properties"]
+        # divergence 2: stripped rebuild, not the original line
+        assert set(props) == {"@validSince", "@validUntil"}
+
+
+def test_way_empty_node_locations_written_not_skipped(spark):
+    """Key-presence builder semantics at the DataFrame level: ways
+    whose node_locations is an EMPTY map (vs null) are now written in
+    complete mode (degraded geometry), matching js:82."""
+    import pyspark.sql.functions as F
+
+    from osm_wayback_spark import pipeline
+    from osm_wayback_spark.operators.history import add_history
+    from osm_wayback_spark.operators.locations import add_node_locations
+    from osm_wayback_spark.operators.reconstruction import reconstruct_objects
+    from osm_wayback_spark.synth import synth_pages
+
+    pages = synth_pages(spark, 0.001)
+    t = pipeline.build_tables(pages)
+    geom = add_node_locations(
+        add_history(t["features"], t["versions"]), t["node_locations"]
+    )
+    ways = geom.filter("element_type = 'way'").limit(5)
+    nl_type = geom.schema["node_locations"].dataType
+    emptied = ways.withColumn(
+        "node_locations", F.create_map().cast(nl_type)
+    )
+    nulled = ways.withColumn(
+        "node_locations", F.lit(None).cast(nl_type)
+    )
+    assert reconstruct_objects(emptied, mode="complete").count() == 5
+    assert reconstruct_objects(nulled, mode="complete").count() == 0
+
+
 def test_reconstruct_objects_modes(spark):
     from osm_wayback_spark import pipeline
     from osm_wayback_spark.operators.history import add_history
