@@ -8,10 +8,13 @@
   reference's stdout JSON sink, add_history.cpp:219-222) with the
   short-key property scheme already embedded in the rows.
 - ``to_topojson_history``: the reference's WRITE_TOPOJSON_HISTORY
-  output mode (map-geom-reconstruction.js:257-275) — STUBBED: it
-  wraps the `topojson` npm library; no Python equivalent ships in
-  this environment. The function raises with the exact plug-in point
-  documented.
+  output mode (map-geom-reconstruction.js:257-275), backed by the
+  pure-Python topology encoder in functions/topojson.py.
+- ``write_mbtiles``: the reference's final artifact container
+  (run.sh:65 tippecanoe → .mbtiles): a real MBTiles 1.3 sqlite file
+  (TMS tile addressing, unique tile index, metadata table) with a
+  documented payload substitution (gzip'd GeoJSON lines instead of
+  MVT protobuf — no MVT encoder ships here).
 """
 
 from __future__ import annotations
@@ -51,6 +54,95 @@ def write_geojsonseq(df: DataFrame, path: str, json_col: str = "feature_json") -
     """One GeoJSON Feature per line (≙ .geojsonseq staged files,
     README.md:52-62)."""
     df.select(F.col(json_col).alias("value")).write.mode("overwrite").text(path)
+
+
+def write_mbtiles(
+    tiles: DataFrame,
+    path: str,
+    name: str = "osm_wayback_spark",
+    feature_col: str = "feature_json",
+    compress: bool = True,
+) -> dict:
+    """Export an ``assign_tiles`` output (z, x, y, …, feature_json)
+    into a REAL `.mbtiles` sqlite container — the reference's final
+    artifact shape (run.sh:65: tippecanoe → osm-wayback.mbtiles).
+
+    Container parity, payload substitution: tippecanoe encodes Mapbox
+    Vector Tile protobufs; no MVT encoder ships here, so tile_data is
+    a (gzip'd) newline-delimited GeoJSON feature list and the
+    metadata table says ``format: json`` — same tile addressing, same
+    container, documented payload format difference (README
+    "Iceberg/format substitutions" table).
+
+    Spec fidelity (MBTiles 1.3): the ``tiles`` table uses the TMS
+    scheme — ``tile_row = 2^z - 1 - y`` (the XYZ y-flip) — with the
+    spec's unique index, plus the required ``metadata`` table.
+
+    Scale shape: the per-tile payload is aggregated DISTRIBUTEDLY
+    (one groupBy(z, x, y) with a sorted collect_list → deterministic
+    bytes), then streamed into sqlite via ``toLocalIterator`` — the
+    driver holds ONE partition at a time, never the corpus. A
+    single-file sqlite artifact is inherently single-writer; the
+    reference pays the same serial step (tippecanoe runs on one
+    node over the full export).
+    """
+    import gzip
+    import sqlite3
+
+    per_tile = (
+        tiles.groupBy("z", "x", "y")
+        .agg(
+            F.concat_ws(
+                "\n", F.sort_array(F.collect_list(F.col(feature_col)))
+            ).alias("_data")
+        )
+        .select("z", "x", "y", "_data")
+    )
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        cur.execute("DROP TABLE IF EXISTS tiles")
+        cur.execute("DROP TABLE IF EXISTS metadata")
+        cur.execute(
+            "CREATE TABLE tiles (zoom_level integer, tile_column integer, "
+            "tile_row integer, tile_data blob)"
+        )
+        cur.execute("CREATE TABLE metadata (name text, value text)")
+        n_tiles = 0
+        zmin = zmax = None
+        for row in per_tile.toLocalIterator():
+            data = row._data.encode("utf-8")
+            if compress:
+                # fixed mtime → byte-deterministic output
+                data = gzip.compress(data, mtime=0)
+            tms_row = (1 << row.z) - 1 - row.y
+            cur.execute(
+                "INSERT INTO tiles VALUES (?, ?, ?, ?)",
+                (row.z, row.x, tms_row, sqlite3.Binary(data)),
+            )
+            n_tiles += 1
+            zmin = row.z if zmin is None else min(zmin, row.z)
+            zmax = row.z if zmax is None else max(zmax, row.z)
+        cur.execute(
+            "CREATE UNIQUE INDEX tile_index ON tiles "
+            "(zoom_level, tile_column, tile_row)"
+        )
+        meta = {
+            "name": name,
+            "format": "json",
+            "compression": "gzip" if compress else "none",
+            "minzoom": str(zmin if zmin is not None else 0),
+            "maxzoom": str(zmax if zmax is not None else 0),
+            "type": "overlay",
+            "version": "1",
+        }
+        cur.executemany(
+            "INSERT INTO metadata VALUES (?, ?)", sorted(meta.items())
+        )
+        con.commit()
+        return {"tiles": n_tiles, "minzoom": zmin, "maxzoom": zmax}
+    finally:
+        con.close()
 
 
 def to_topojson_history(
