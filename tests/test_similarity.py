@@ -171,7 +171,9 @@ def test_ann_leaves_no_persisted_frames(spark, emb):
 
     def persisted_ids():
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        return {int(k.toString()) for k in jmap.keySet().toArray()}
+        # py4j auto-converts Integer keys to int when the map is
+        # non-empty-through-auto-convert; be robust to both shapes
+        return {int(str(k)) for k in jmap.keySet().toArray()}
 
     before = persisted_ids()
     from osm_wayback_spark.operators.similarity import ann_ivf
