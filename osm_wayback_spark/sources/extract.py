@@ -117,6 +117,51 @@ def extract_text_tolerant(html_bytes: bytes) -> str:
     return _PTextParser().run(doc)
 
 
+def extract_island_tolerant(html_bytes: bytes) -> dict | None:
+    """Real-crawl island extraction: pull the first
+    ``application/osm+json`` script body with a tolerant HTML parse
+    instead of the exact-marker locate — survives attribute
+    reordering, single quotes, extra attributes and case variation
+    (`<SCRIPT id=x type='application/osm+json'>`), which the
+    `_MARK` fast path requires verbatim. Same fallback-probe pattern
+    as extract_text_tolerant."""
+    from html.parser import HTMLParser
+
+    doc = html_bytes.decode("utf-8", errors="replace")
+
+    class _S(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=False)
+            self.in_island = False
+            self.body: list[str] = []
+            self.done = False
+
+        def handle_starttag(self, tag, attrs):
+            if self.done or tag != "script":
+                return
+            if dict(attrs).get("type", "").strip() == "application/osm+json":
+                self.in_island = True
+
+        def handle_endtag(self, tag):
+            if tag == "script" and self.in_island:
+                self.in_island = False
+                self.done = True
+
+        def handle_data(self, data):
+            if self.in_island:
+                self.body.append(data)
+
+    p = _S()
+    p.feed(doc)
+    p.close()
+    if not p.body:
+        return None
+    try:
+        return json.loads("".join(p.body))
+    except json.JSONDecodeError:
+        return None
+
+
 def extract_island(html_bytes: bytes) -> dict | None:
     doc = html_bytes.decode("utf-8", errors="replace")
     m = _ISLAND_RE.search(doc)
@@ -215,16 +260,22 @@ def extract_versions_native(pages: DataFrame) -> DataFrame:
     )
 
 
-def extract_versions(pages: DataFrame) -> DataFrame:
+def extract_versions(pages: DataFrame, tolerant: bool = False) -> DataFrame:
     """pages → versions (+ geometry_json carried on the row that
     embeds the current geometry). One Arrow pass; narrow (no shuffle).
+
+    ``tolerant=True`` swaps the exact-marker island pull for the
+    tolerant HTML parse (extract_island_tolerant) — the real-crawl
+    configuration where markup isn't format-guaranteed; ~3× slower
+    per page, identical output on well-formed input (pytest-pinned).
     """
+    pull = extract_island_tolerant if tolerant else extract_island
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for html_bytes, wts in zip(pdf["html"], pdf["warc_ts"]):
-                isl = extract_island(html_bytes)
+                isl = pull(html_bytes)
                 if isl is None:
                     continue
                 geom = isl.get("geometry")

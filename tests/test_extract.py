@@ -60,6 +60,40 @@ def test_tolerant_parser_lxml_path():
     assert extract_text_tolerant(doc).splitlines() == ["alpha", "beta"]
 
 
+def test_tolerant_island_extraction():
+    """Tolerant island pull: agrees with the exact-marker path on the
+    synthetic corpus AND survives attribute reordering / single
+    quotes / extra attributes / uppercase tags that the verbatim
+    `_MARK` locate cannot."""
+    from osm_wayback_spark.sources.extract import extract_island_tolerant
+
+    pdf = synth_pages_local(SF)
+    for html in pdf["html"][:100]:
+        assert extract_island_tolerant(html) == extract_island(html)
+
+    messy = (
+        b"<html><body><p>x</p>"
+        b"<SCRIPT id=geo type='application/osm+json' async>"
+        b'{"element_type":"node","id":7,"version":1,"ts":5}'
+        b"</SCRIPT></body></html>"
+    )
+    assert extract_island(messy) is None  # fast path: marker mismatch
+    isl = extract_island_tolerant(messy)
+    assert isl == {"element_type": "node", "id": 7, "version": 1, "ts": 5}
+    assert extract_island_tolerant(b"<p>no island</p>") is None
+
+
+def test_extract_versions_tolerant_matches_fast(spark):
+    """The distributed tolerant kernel produces the same versions
+    table as the fast path on the format-guaranteed corpus."""
+    pages = synth_pages(spark, SF)
+    fast = extract_versions(pages).orderBy("element_type", "id", "version")
+    tol = extract_versions(pages, tolerant=True).orderBy(
+        "element_type", "id", "version"
+    )
+    assert fast.collect() == tol.collect()
+
+
 def test_island_parses_every_page():
     pdf = synth_pages_local(SF)
     for html in pdf["html"]:
