@@ -87,33 +87,47 @@ def minhash_signatures(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """→ (doc_id, sig_0..sig_{H-1}); sig_i = min over shingles of
-    hash(i-salted shingle). One explode + one groupBy(doc_id).
+    hash(i-salted shingle).
+
+    SHUFFLE-FREE (round 4): a MinHash signature depends only on its
+    own row's shingles, so it is pure column math — array_min over a
+    transform of the per-row shingle array. The previous shape
+    (explode → groupBy(doc_id)) shuffled ~|shingles per doc| × corpus
+    rows to compute a per-row value; at 100 TB that shuffle dwarfs
+    the hashing itself (measured at sf0.1: 3.8 s → 0.6 s). The DuckDB
+    oracle keeps its unnest+GROUP BY formulation — same result, so
+    the rewrite is hash-checked, and distinctness of the shingle set
+    is irrelevant (min is idempotent to duplicates).
 
     ``hash_fn="md5"`` (default): hex-string min — the oracle-parity
     configuration (Spark and DuckDB md5 agree bit-for-bit, and the
     lexicographic min over hex ≡ min over the 128-bit integer).
-    ``hash_fn="xxhash64"``: native 64-bit integer hash (JVM
-    whole-stage-codegen, no hex materialization) — the throughput
-    path at planet scale where DuckDB parity is not needed; the
-    per-hash salt rides as a literal int column, not a string concat.
-    Downstream banding (lsh_candidate_pairs) works on either: the
-    band hash md5(concat_ws) stringifies longs deterministically."""
-    sh = doc_shingles(documents, n)
+    ``hash_fn="xxhash64"``: native 64-bit integer hash (no hex
+    string materialization) — the planet-scale configuration where
+    DuckDB parity is not needed. Downstream banding
+    (lsh_candidate_pairs) works on either: the band hash
+    md5(concat_ws) stringifies longs deterministically."""
     if hash_fn == "xxhash64":
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"sig_{i}")
-            for i in range(num_hashes)
-        ]
+        def sig(i):
+            return F.array_min(
+                F.transform("_sh", lambda s: F.xxhash64(F.lit(i), s))
+            )
     elif hash_fn == "md5":
-        aggs = [
-            F.min(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-            ).alias(f"sig_{i}")
-            for i in range(num_hashes)
-        ]
+        def sig(i):
+            return F.array_min(
+                F.transform(
+                    "_sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    return sh.groupBy("doc_id").agg(*aggs)
+    return (
+        documents.select("doc_id", shingles(F.col("text"), n).alias("_sh"))
+        .filter(F.size("_sh") > 0)  # ≙ the docs the groupBy form kept
+        .select(
+            "doc_id", *[sig(i).alias(f"sig_{i}") for i in range(num_hashes)]
+        )
+    )
 
 
 def lsh_candidate_pairs(

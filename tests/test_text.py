@@ -78,3 +78,40 @@ def test_token_count_bpe(spark):
     assert got[1] == 8
     assert got[2] == 1
     assert got[3] == 0
+
+
+def test_shingles_sliding_equals_index_form(spark):
+    """The zip_with sliding-window shingles must equal the reference
+    index formulation (transform over sequence + per-element slice)
+    for several n, including the <n-words degenerate case."""
+    from pyspark.sql import functions as F
+
+    from osm_wayback_spark.functions.text import shingles, words
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "one two"),
+            (3, "solo"),
+            (4, "x x x x"),  # duplicate shingles → distinct
+            (5, "  padded   whitespace   here  "),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (1, 2, 3, 4):
+        w = words(F.col("text"))
+        ref = F.array_distinct(
+            F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", w)))
+        )
+        out = docs.select(
+            F.sort_array(shingles(F.col("text"), n)).alias("a"),
+            F.sort_array(ref).alias("b"),
+        ).collect()
+        for r in out:
+            assert r.a == r.b, (n, r)
