@@ -229,10 +229,12 @@ def minhash_dedup(
     bands: int = DEFAULT_BANDS,
     n: int = 3,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard.
-    → (doc_a, doc_b, jaccard)."""
-    sigs = minhash_signatures(documents, num_hashes, n)
+    → (doc_a, doc_b, jaccard). ``hash_fn="xxhash64"`` selects the
+    native-integer signature path (see minhash_signatures)."""
+    sigs = minhash_signatures(documents, num_hashes, n, hash_fn)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     sh = doc_shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("sz"))
