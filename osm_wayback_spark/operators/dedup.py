@@ -2,8 +2,9 @@
 
 Four families, each a ``queries()`` entry with a DuckDB oracle:
 - exact:       hash-groupBy on normalized text
-- MinHash+LSH: shingle → md5-minhash signatures → banded buckets →
-               candidate pairs → exact-Jaccard verify
+- MinHash+LSH: per-row shingle-array minhash signatures
+               (shuffle-free) → banded buckets → candidate pairs →
+               exact-Jaccard verify
 - SimHash:     per-token 48-bit hash, weighted bit votes
 - n-gram Jaccard: shingle explode + self-join
 
@@ -11,10 +12,11 @@ Hash function choice: md5 (lexicographic min over hex strings ≡ min
 over the 128-bit integer) because Spark and DuckDB produce identical
 md5 hex — the whole dedup stack is thus oracle-checkable bit-for-bit.
 
-Scale notes: every family is explode → shuffle-on-short-key →
-aggregate; no Python. n-gram self-join caps shingle document
-frequency (`max_df`) so planet-hot shingles ("the of and") don't
-produce quadratic candidates — the cap is logged, not silent.
+Scale notes: signatures are per-row column math (no shuffle at
+all); pair generation is explode → shuffle-on-short-key →
+equi-join; no Python anywhere. n-gram self-join caps shingle
+document frequency (`max_df`) so planet-hot shingles ("the of and")
+don't produce quadratic candidates — the cap is logged, not silent.
 """
 
 from __future__ import annotations
