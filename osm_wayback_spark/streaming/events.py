@@ -166,6 +166,62 @@ def run_available_now(
     q.stop()
 
 
+def streaming_near_dup_flags(
+    documents: DataFrame,
+    corpus_signatures: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Streaming near-dup screening of a document stream against a
+    STATIC reference corpus — the shape a continuously-fed training
+    pipeline needs ("is this crawl batch a near-copy of anything we
+    already hold?").
+
+    Works because round-4's minhash_signatures is per-row column
+    math (no shuffle, no state): it applies to a streaming DataFrame
+    unchanged. The banded buckets of the stream side then
+    STREAM-STATIC equi-join against the corpus bucket table (no
+    watermark needed — stream-static joins are stateless), yielding
+    one row per (stream doc, corpus doc) candidate collision:
+    (doc_id, corpus_doc_id, band). Downstream either flags doc_ids
+    with any collision (groupBy) or exact-verifies the pairs.
+
+    ``corpus_signatures`` is a minhash_signatures output for the
+    reference corpus (precomputed once, broadcast-joinable when it
+    fits); at planet scale it is a bucketed static table and the
+    equi-join stays shuffle-free on the static side.
+    """
+    from ..operators.dedup import minhash_signatures
+
+    def band_rows(sigs: DataFrame, id_out: str) -> DataFrame:
+        rows_per_band = num_hashes // bands
+        band_cols = []
+        for b in range(bands):
+            parts = [
+                F.col(f"sig_{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *parts)).alias("bh"),
+                )
+            )
+        return sigs.select(
+            F.col("doc_id").alias(id_out),
+            F.explode(F.array(*band_cols)).alias("bk"),
+        ).select(id_out, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    stream_sigs = minhash_signatures(documents, num_hashes, n, hash_fn)
+    stream_buckets = band_rows(stream_sigs, "doc_id")
+    corpus_buckets = band_rows(corpus_signatures, "corpus_doc_id")
+    return stream_buckets.join(corpus_buckets, on=["band", "bh"]).select(
+        "doc_id", "corpus_doc_id", "band"
+    )
+
+
 def streaming_exact_dedup(
     documents: DataFrame,
     ts_col: str = "ts",

@@ -121,3 +121,62 @@ def test_streaming_exact_dedup(spark, tmp_path):
     texts = [r.text for r in out]
     assert len(texts) == 10
     assert len(set(texts)) == 10
+
+
+def test_streaming_near_dup_flags_match_batch(spark, tmp_path):
+    """Stream-static near-dup screening: collisions flagged on the
+    stream must equal the same banded join computed in batch, and an
+    exact-duplicate-of-corpus doc must always collide while an
+    unrelated doc must not."""
+    from osm_wayback_spark.operators.dedup import minhash_signatures
+    from osm_wayback_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        streaming_near_dup_flags,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "an entirely different reference document body"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus_sigs = minhash_signatures(corpus, num_hashes=8)
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    stream_rows = [
+        (1, t0, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, t0, "totally unrelated words regarding tile pyramids"),
+        (3, t0, "an entirely different reference document body"),  # exact dup
+    ]
+    path = str(tmp_path / "sdocs")
+    spark.createDataFrame(
+        stream_rows, "doc_id long, ts timestamp, text string"
+    ).write.parquet(path)
+
+    flags = streaming_near_dup_flags(
+        read_event_stream(spark, path), corpus_sigs, num_hashes=8
+    )
+    assert flags.isStreaming
+    run_available_now(flags, "near_dup_flags", output_mode="append")
+    got = {
+        (r.doc_id, r.corpus_doc_id, r.band)
+        for r in spark.table("near_dup_flags").collect()
+    }
+
+    batch = streaming_near_dup_flags(
+        spark.createDataFrame(
+            stream_rows, "doc_id long, ts timestamp, text string"
+        ),
+        corpus_sigs,
+        num_hashes=8,
+    )
+    exp = {(r.doc_id, r.corpus_doc_id, r.band) for r in batch.collect()}
+    assert got == exp
+    flagged = {d for d, _c, _b in got}
+    assert 1 in flagged and 3 in flagged  # exact dups collide in every band
+    assert 2 not in flagged
+    assert (1, 100, 0) in got and (3, 101, 0) in got
