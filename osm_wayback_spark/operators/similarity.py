@@ -571,6 +571,119 @@ def ann_ivf_candidates(
     return _guarantee_k(embeddings, queries, cands, k, escalate=esc)
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 3,
+    sample_fraction: float | None = None,
+    spherical: bool = True,
+) -> np.ndarray:
+    """Train-once IVF index materialization (the production path —
+    training and corpus assignment are paid per index BUILD, not per
+    query batch):
+
+        <path>/centroids.json        (n_centroids × dim, + config)
+        <path>/assignments.parquet   (vec_id, cell), written
+                                     partitionBy(cell)
+
+    The assignment table is cell-partitioned, so a later probe reads
+    ONLY its nprobe cells' files (partition pruning — the parquet
+    stand-in for an Iceberg bucket transform, same as the tile
+    sink). Returns the centroids."""
+    import json as _json
+    import os
+
+    centroids = train_ivf_centroids(
+        embeddings, n_centroids, iters, sample_fraction, spherical
+    )
+    assigned = with_ivf_cell(embeddings, centroids, spherical)
+    assigned.select("vec_id", "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "assignments.parquet"))
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        _json.dump(
+            {
+                "centroids": centroids.tolist(),
+                "spherical": spherical,
+                "n_centroids": int(n_centroids),
+            },
+            fh,
+        )
+    return centroids
+
+
+def read_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame, bool]:
+    """→ (centroids, assignments(vec_id, cell), spherical)."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        meta = _json.load(fh)
+    assignments = spark.read.parquet(
+        os.path.join(path, "assignments.parquet")
+    )
+    return (
+        np.array(meta["centroids"], dtype=np.float64),
+        assignments,
+        bool(meta["spherical"]),
+    )
+
+
+def ann_ivf_indexed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    index_path: str,
+    k: int,
+    nprobe: int = 4,
+    fallback: bool = True,
+) -> DataFrame:
+    """IVF top-k over a PREBUILT index (write_ivf_index): no training
+    pass, no corpus assignment pass — the query side probes its
+    nprobe cells and the (cell-partitioned) assignment table prunes
+    to exactly those partitions. ``embeddings`` supplies vectors for
+    the exact re-rank only (two id equi-joins)."""
+    spark = embeddings.sparkSession
+    centroids, assignments, spherical = read_ivf_index(spark, index_path)
+    cent = _unit_rows(centroids) if spherical else centroids
+    cnorm2 = (cent * cent).sum(axis=1)
+    n_probe = min(nprobe, len(cent))
+
+    @pandas_udf("array<int>")
+    def probe_udf(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="object")
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        if spherical:
+            mat = _unit_rows(mat)
+        scores = cnorm2[None, :] - 2.0 * (mat @ cent.T)
+        order = np.argsort(scores, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe_udf("embedding")).alias("cell"),
+    )
+    cands = (
+        assignments.join(q, on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    if fallback:
+        def esc(starved):
+            return ann_ivf_candidates(
+                embeddings, starved, k, len(cent), nprobe * 2,
+                centroids=cent, fallback=False, spherical=spherical,
+            )
+
+        cands = _guarantee_k(
+            embeddings, queries, cands, k,
+            escalate=esc if n_probe < len(cent) else None,
+        )
+    return rerank_topk(embeddings, queries, cands, k)
+
+
 def ann_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

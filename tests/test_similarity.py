@@ -279,3 +279,41 @@ def test_ivf_spherical_beats_l2(spark):
     r_l2, r_sph = recall(False), recall(True)
     assert r_sph >= 0.9
     assert r_sph > r_l2 + 0.2
+
+
+def test_ivf_indexed_matches_inline(spark, tmp_path):
+    """ann over a prebuilt persisted index must equal ann_ivf with
+    the same centroids computed inline, and the assignment table must
+    be cell-partitioned (partition pruning on probe)."""
+    import os
+
+    from osm_wayback_spark.operators.similarity import (
+        ann_ivf,
+        ann_ivf_indexed,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = df.filter("vec_id < 10")
+    path = str(tmp_path / "ivf_index")
+    cent = write_ivf_index(df, path, n_centroids=4, iters=2)
+    # layout: one directory per cell → partition pruning works
+    parts = [
+        d for d in os.listdir(os.path.join(path, "assignments.parquet"))
+        if d.startswith("cell=")
+    ]
+    assert len(parts) >= 2
+    cent2, assignments, spherical = read_ivf_index(spark, path)
+    assert spherical and assignments.count() == df.count()
+
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    a = sorted(
+        ann_ivf_indexed(df, queries, path, k=3, nprobe=2).collect(), key=key
+    )
+    b = sorted(
+        ann_ivf(df, queries, k=3, nprobe=2, centroids=cent).collect(), key=key
+    )
+    assert [(r.query_id, r.vec_id, r.cosine) for r in a] == [
+        (r.query_id, r.vec_id, r.cosine) for r in b
+    ]
