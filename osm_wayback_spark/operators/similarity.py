@@ -664,8 +664,16 @@ def ann_ivf_indexed(
         F.col("vec_id").alias("query_id"),
         F.explode(probe_udf("embedding")).alias("cell"),
     )
+    # EXPLICIT static partition pruning: the distinct probed cell set
+    # is bounded by n_centroids (collected from the SMALL query side
+    # only — never the corpus), and an IN-filter on the partition
+    # column reaches the scan as a PartitionFilter, so only those
+    # cells' files are read. A bare join on the partition column does
+    # NOT prune (verified: no DPP is planned for this shape).
+    probed = [r.cell for r in q.select("cell").distinct().collect()]
+    pruned = assignments.filter(F.col("cell").isin(probed))
     cands = (
-        assignments.join(q, on="cell")
+        pruned.join(q, on="cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
         .distinct()

