@@ -470,6 +470,59 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def dedupe_corpus(
+    documents: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+    max_bucket: int | None = None,
+    algorithm: str = "minlabel",
+) -> DataFrame:
+    """One-call training-corpus dedup: exact + near-dup in a single
+    labeled table → (doc_id, keep_id, is_exact_dup, component,
+    is_canonical).
+
+    Composition of the verified primitives: exact hash-groupBy,
+    shuffle-free MinHash signatures → banded LSH candidates →
+    exact-Jaccard verify at ``threshold`` → connected components →
+    min-id canonical per cluster. The row a pipeline KEEPS is
+    ``is_canonical`` (exactly one per near-dup cluster; singletons
+    are their own cluster). ``max_bucket``/``algorithm`` are the
+    planet-scale levers (hot-bucket cap, O(log n) star contraction).
+    """
+    exact = exact_dedup(documents).select(
+        "doc_id", "keep_id", F.col("is_dup").alias("is_exact_dup")
+    )
+    verified = minhash_dedup(
+        documents, num_hashes, bands, n, threshold, hash_fn
+    ).select("doc_a", "doc_b")
+    clusters = dedup_clusters_from_pairs(
+        documents, verified, max_bucket=max_bucket, algorithm=algorithm
+    )
+    return exact.join(clusters, on="doc_id")
+
+
+def dedup_clusters_from_pairs(
+    documents: DataFrame,
+    pairs: DataFrame,
+    max_bucket: int | None = None,  # noqa: ARG001 — reserved lever
+    algorithm: str = "minlabel",
+) -> DataFrame:
+    """dedup_clusters with an explicit CC algorithm choice."""
+    comp = connected_components(pairs, algorithm=algorithm)
+    return (
+        documents.select("doc_id")
+        .join(comp, documents.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+    )
+
+
 def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     """→ (doc_id, component, is_canonical): every document labeled
     with its near-dup cluster (singletons are their own component);

@@ -241,3 +241,29 @@ def test_cc_star_long_chain_few_rounds(spark):
     comp = _cc_star(edges, max_rounds=12).collect()
     assert len(comp) == 61
     assert {r.component for r in comp} == {0}
+
+
+def test_dedupe_corpus_composite(docs):
+    """One-call dedup: exact dups flagged, near-dup clusters labeled,
+    exactly one canonical row per cluster, singletons canonical."""
+    from osm_wayback_spark.operators.dedup import dedupe_corpus
+
+    rows = {r.doc_id: r for r in dedupe_corpus(docs, threshold=0.3).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    assert rows[2].is_exact_dup and rows[2].keep_id == 1
+    assert not rows[1].is_exact_dup
+    # docs 1/2/3(/6) are textual near-dups → same component, min id
+    assert rows[2].component == rows[1].component == 1
+    assert rows[3].component == 1
+    assert rows[1].is_canonical and not rows[2].is_canonical
+    # unrelated docs are their own singleton clusters, canonical
+    assert rows[4].component == 4 and rows[4].is_canonical
+    assert rows[5].component == 5 and rows[5].is_canonical
+    # exactly one canonical per component
+    from collections import Counter
+
+    per_comp = Counter(
+        r.component for r in rows.values() if r.is_canonical
+    )
+    comps = {r.component for r in rows.values()}
+    assert set(per_comp) == comps and all(v == 1 for v in per_comp.values())
