@@ -430,6 +430,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def q_dedupe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus dedup (exact + jaccard-VERIFIED near-dup
+    clusters + canonical selection). Oracle: the exact window + the
+    LSH-candidate/jaccard-verify/recursive-CC SQL composed the same
+    way the operator composes the primitives."""
+    from osm_wayback_spark.operators.dedup import dedupe_corpus
+
+    return dedupe_corpus(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        threshold=0.3,
+    )
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus quality gate: keep documents that clear token
     count, language and quality-score thresholds (the composition a
@@ -809,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,
         "dedup_clusters": q_dedup_clusters,
+        "dedupe_corpus": q_dedupe_corpus,
         "corpus_filter": q_corpus_filter,
         "token_stats_bpe": q_token_stats_bpe,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1349,5 +1365,65 @@ def oracle_sql() -> dict[str, str]:
                coalesce(c.component, d.doc_id) AS component,
                d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+    # dedupe_corpus = exact window + (LSH candidates → exact-jaccard
+    # verify at 0.3 → recursive CC → canonical), composed exactly as
+    # operators/dedup.dedupe_corpus composes the primitives.
+    sql["dedupe_corpus"] = f"""
+        WITH RECURSIVE shd AS (
+          SELECT DISTINCT doc_id, unnest({shingles3}) AS shingle
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents)
+        ),
+        sigs AS (
+          SELECT doc_id,
+            {', '.join(f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(8))}
+          FROM shd GROUP BY doc_id
+        ),
+        bands AS (
+          {' UNION ALL '.join(
+              f"SELECT doc_id, {b} AS band, md5(sig_{2 * b} || '|' || sig_{2 * b + 1}) AS bh FROM sigs"
+              for b in range(4))}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+        verified AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shd a JOIN shd b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          ) x ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b
+          JOIN sizes sa ON sa.doc_id = c.doc_a
+          JOIN sizes sb ON sb.doc_id = c.doc_b
+          WHERE round(x.i / (sa.sz + sb.sz - x.i), 6) >= 0.3
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM verified
+          UNION SELECT doc_b, doc_a FROM verified
+        ),
+        r(node, lab) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lab FROM edges e JOIN r ON e.b = r.node
+        ),
+        comp AS (SELECT node, min(lab) AS component FROM r GROUP BY node),
+        ex AS (
+          SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+          FROM documents
+        )
+        SELECT ex.doc_id,
+               ex.keep_id,
+               ex.doc_id != ex.keep_id AS is_exact_dup,
+               coalesce(c.component, ex.doc_id) AS component,
+               ex.doc_id = coalesce(c.component, ex.doc_id) AS is_canonical
+        FROM ex LEFT JOIN comp c ON ex.doc_id = c.node
     """
     return sql
