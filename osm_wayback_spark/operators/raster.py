@@ -109,3 +109,35 @@ def vectorize_cells(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in cells.schema.fields
     ) + ", geometry string"
     return cells.mapInPandas(kernel, schema=schema)
+
+
+def zonal_stats(
+    values: DataFrame,
+    polygons: DataFrame,
+    res: int = DEFAULT_RES,
+    value_col: str = "value",
+) -> DataFrame:
+    """Zonal statistics: aggregate a cell-keyed value raster per
+    polygon zone → (polygon_id, n_cells, v_min, v_max, v_sum, v_avg).
+
+    Scale shape: the polygon side rasterizes ONCE (bounded per-
+    polygon by its bbox cover at ``res``), then a plain equi-join on
+    the packed cell id against the (huge) raster meets a map-side-
+    combined groupBy(polygon_id) — no geometry test ever touches a
+    raster row, so the raster side stays pure columnar scan + one
+    shuffle on polygon_id. Zones that cover no raster cell are
+    absent (LEFT-join the polygon table afterwards if zeros are
+    wanted)."""
+    zones = rasterize_polygons(polygons, res)
+    v = values.select("cell", F.col(value_col).alias("_v"))
+    return (
+        zones.join(v, on="cell")
+        .groupBy("polygon_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.min("_v").alias("v_min"),
+            F.max("_v").alias("v_max"),
+            F.sum("_v").alias("v_sum"),
+            F.avg("_v").alias("v_avg"),
+        )
+    )

@@ -45,3 +45,40 @@ def test_roundtrip_raster_vector(spark):
         # cell polygon must overlap the source square
         (x0, y0), (x1, _), (_, y1) = g["coordinates"][0][0], g["coordinates"][0][1], g["coordinates"][0][2]
         assert x0 < 10 and x1 > -10 and min(y0, y1) < 10
+
+
+def test_zonal_stats_matches_python(spark):
+    """Zonal aggregation equals a per-cell python oracle: rasterize
+    two disjoint rectangles, lay a deterministic value per cell, and
+    compare every statistic."""
+    import json
+
+    from osm_wayback_spark.operators.raster import (
+        rasterize_polygons,
+        zonal_stats,
+    )
+
+    def rect(pid, lon0, lat0, w, h):
+        return (pid, json.dumps([[
+            [lon0, lat0], [lon0 + w, lat0], [lon0 + w, lat0 + h],
+            [lon0, lat0 + h], [lon0, lat0],
+        ]]))
+
+    polys = spark.createDataFrame(
+        [rect(1, 0.0, 0.0, 20.0, 10.0), rect(2, 60.0, 20.0, 12.0, 12.0)],
+        "polygon_id long, rings_json string",
+    )
+    zones = {(r.polygon_id, r.cell) for r in rasterize_polygons(polys, res=6).collect()}
+    assert zones
+    cells = sorted({c for _p, c in zones})
+    values = spark.createDataFrame(
+        [(c, float(c % 97)) for c in cells], "cell long, value double"
+    )
+    got = {r.polygon_id: r for r in zonal_stats(values, polys, res=6).collect()}
+    for pid in (1, 2):
+        vs = [float(c % 97) for p, c in zones if p == pid]
+        assert got[pid].n_cells == len(vs)
+        assert got[pid].v_min == min(vs)
+        assert got[pid].v_max == max(vs)
+        assert abs(got[pid].v_sum - sum(vs)) < 1e-9
+        assert abs(got[pid].v_avg - sum(vs) / len(vs)) < 1e-9
