@@ -449,7 +449,7 @@ def _measure_subprocess(cores: int) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--measure":
-        runs = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "4"))
         print(json.dumps(measure(int(sys.argv[2]), runs=runs)))
         return
     if len(sys.argv) > 4 and sys.argv[1] == "--measure-server":
@@ -535,7 +535,10 @@ def main() -> None:
         # the _CORES comment above and BASELINE.md. Timed passes
         # INTERLEAVE across the two sides (round-4 refinement: paired
         # noise windows) unless disabled or the coordination fails.
-        samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+        # 4 paired rounds by default: one more min-combine sample per
+        # side costs ~6 min and meaningfully tightens the worst case
+        # on a shared host (observed same-day spread 0.81-1.02)
+        samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "4"))
         lo = hi = None
         if os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVE", "1") != "0":
             try:
