@@ -132,21 +132,23 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
-    max_bucket: int | None = None,
+    id_col: str = "doc_id",
+    id_out: str | None = None,
 ) -> DataFrame:
-    """→ distinct (doc_a, doc_b) sharing ≥1 LSH band bucket (a < b).
+    """Banded LSH bucket rows → (``id_out``, band, bh).
 
-    Band hash = md5(concat of the band's signature slots). The
-    bucket-join is an equi-join on (band, band_hash) — broadcastable
-    when one side is small, AQE-skew-split otherwise. ``max_bucket``
-    drops degenerate hot buckets before the self-join (logged; see
-    _cap_buckets) — None (default) is the exact/oracle-parity
-    configuration; set it at planet scale.
-    """
+    Band hash = md5(concat_ws('|') of the band's signature slots) —
+    works on both the md5-hex and xxhash64-integer signature paths
+    (concat_ws stringifies longs deterministically). THE one banding
+    definition: ``lsh_candidate_pairs`` (batch self-join) and
+    ``streaming_near_dup_flags`` (stream-static join) both call this,
+    so corpus bucket tables precomputed by one path are always
+    compatible with the other (cross-checked by pytest)."""
+    id_out = id_out or id_col
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -156,9 +158,27 @@ def lsh_candidate_pairs(
                 F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh")
             )
         )
-    buckets = signatures.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    return signatures.select(
+        F.col(id_col).alias(id_out), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_out, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """→ distinct (doc_a, doc_b) sharing ≥1 LSH band bucket (a < b).
+
+    Banding via the shared ``band_buckets`` helper. The bucket-join
+    is an equi-join on (band, band_hash) — broadcastable when one
+    side is small, AQE-skew-split otherwise. ``max_bucket`` drops
+    degenerate hot buckets before the self-join (logged; see
+    _cap_buckets) — None (default) is the exact/oracle-parity
+    configuration; set it at planet scale.
+    """
+    buckets = band_buckets(signatures, num_hashes, bands)
     buckets = _cap_buckets(buckets, ["band", "bh"], max_bucket, "lsh_candidate_pairs")
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -232,12 +252,15 @@ def minhash_dedup(
     n: int = 3,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard.
     → (doc_a, doc_b, jaccard). ``hash_fn="xxhash64"`` selects the
-    native-integer signature path (see minhash_signatures)."""
+    native-integer signature path (see minhash_signatures);
+    ``max_bucket`` is the hot-bucket cap applied before the LSH
+    self-join (logged, see _cap_buckets; None = exact)."""
     sigs = minhash_signatures(documents, num_hashes, n, hash_fn)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket=max_bucket)
     sh = doc_shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("sz"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
@@ -490,16 +513,19 @@ def dedupe_corpus(
     min-id canonical per cluster. The row a pipeline KEEPS is
     ``is_canonical`` (exactly one per near-dup cluster; singletons
     are their own cluster). ``max_bucket``/``algorithm`` are the
-    planet-scale levers (hot-bucket cap, O(log n) star contraction).
+    planet-scale levers: the cap is applied in ``lsh_candidate_pairs``
+    before the bucket self-join (logged, never silent), the star
+    contraction bounds clustering at O(log n) rounds.
     """
     exact = exact_dedup(documents).select(
         "doc_id", "keep_id", F.col("is_dup").alias("is_exact_dup")
     )
     verified = minhash_dedup(
-        documents, num_hashes, bands, n, threshold, hash_fn
+        documents, num_hashes, bands, n, threshold, hash_fn,
+        max_bucket=max_bucket,
     ).select("doc_a", "doc_b")
     clusters = dedup_clusters_from_pairs(
-        documents, verified, max_bucket=max_bucket, algorithm=algorithm
+        documents, verified, algorithm=algorithm
     )
     return exact.join(clusters, on="doc_id")
 
@@ -507,7 +533,6 @@ def dedupe_corpus(
 def dedup_clusters_from_pairs(
     documents: DataFrame,
     pairs: DataFrame,
-    max_bucket: int | None = None,  # noqa: ARG001 — reserved lever
     algorithm: str = "minlabel",
 ) -> DataFrame:
     """dedup_clusters with an explicit CC algorithm choice."""

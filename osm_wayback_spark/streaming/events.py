@@ -192,31 +192,19 @@ def streaming_near_dup_flags(
     reference corpus (precomputed once, broadcast-joinable when it
     fits); at planet scale it is a bucketed static table and the
     equi-join stays shuffle-free on the static side.
-    """
-    from ..operators.dedup import minhash_signatures
 
-    def band_rows(sigs: DataFrame, id_out: str) -> DataFrame:
-        rows_per_band = num_hashes // bands
-        band_cols = []
-        for b in range(bands):
-            parts = [
-                F.col(f"sig_{b * rows_per_band + r}")
-                for r in range(rows_per_band)
-            ]
-            band_cols.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("|", *parts)).alias("bh"),
-                )
-            )
-        return sigs.select(
-            F.col("doc_id").alias(id_out),
-            F.explode(F.array(*band_cols)).alias("bk"),
-        ).select(id_out, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    Banding is the SAME code as the batch path — the shared
+    ``operators.dedup.band_buckets`` helper — so a corpus bucket
+    table precomputed by either path always matches the other
+    (stream≡batch cross-check pinned by pytest).
+    """
+    from ..operators.dedup import band_buckets, minhash_signatures
 
     stream_sigs = minhash_signatures(documents, num_hashes, n, hash_fn)
-    stream_buckets = band_rows(stream_sigs, "doc_id")
-    corpus_buckets = band_rows(corpus_signatures, "corpus_doc_id")
+    stream_buckets = band_buckets(stream_sigs, num_hashes, bands)
+    corpus_buckets = band_buckets(
+        corpus_signatures, num_hashes, bands, id_out="corpus_doc_id"
+    )
     return stream_buckets.join(corpus_buckets, on=["band", "bh"]).select(
         "doc_id", "corpus_doc_id", "band"
     )

@@ -267,3 +267,78 @@ def test_dedupe_corpus_composite(docs):
     )
     comps = {r.component for r in rows.values()}
     assert set(per_comp) == comps and all(v == 1 for v in per_comp.values())
+
+
+def test_dedupe_corpus_max_bucket_engages(spark, caplog):
+    """The one-call API's ``max_bucket`` must actually reach the LSH
+    stage (round-4 advice: it was a silent no-op): on a corpus with
+    one engineered hot bucket, setting the cap fires the hot-bucket
+    warning and shrinks the near-dup clusters vs the uncapped run."""
+    import logging
+
+    from osm_wayback_spark.operators.dedup import dedupe_corpus
+
+    hot = [(i, "boilerplate header common to every page") for i in range(300)]
+    cold = [
+        (1000, "alpha beta gamma delta epsilon zeta"),
+        (1001, "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+
+    uncapped = dedupe_corpus(docs, num_hashes=8, threshold=0.3).collect()
+    # the hot docs cluster into one giant component without the cap
+    assert sum(1 for r in uncapped if r.component == 0) == 300
+
+    with caplog.at_level(
+        logging.WARNING, logger="osm_wayback_spark.operators.dedup"
+    ):
+        capped = dedupe_corpus(
+            docs, num_hashes=8, threshold=0.3, max_bucket=100
+        ).collect()
+    assert any("hot bucket" in r.message for r in caplog.records)
+    # the hot bucket never self-joins → each hot doc is its own
+    # singleton component (exact-dup labeling still flags them)
+    by_id = {r.doc_id: r for r in capped}
+    assert all(by_id[i].component == i for i in range(300))
+    assert by_id[1].is_exact_dup and by_id[1].keep_id == 0
+    # healthy buckets still pair
+    assert by_id[1001].component == 1000
+
+
+def test_band_buckets_shared_by_batch_and_streaming(docs):
+    """ONE banding definition (round-4 advice): lsh_candidate_pairs
+    and streaming_near_dup_flags both consume
+    ``operators.dedup.band_buckets``. Cross-check: joining the helper's
+    bucket table against itself reproduces lsh_candidate_pairs
+    exactly, and the renamed-id variant used by the streaming path
+    yields identical (band, bh) rows."""
+    from osm_wayback_spark.operators.dedup import band_buckets
+
+    sigs = minhash_signatures(docs, num_hashes=8)
+    bk = band_buckets(sigs, num_hashes=8, bands=4)
+    a, b = bk.alias("a"), bk.alias("b")
+    via_helper = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .collect()
+    }
+    via_op = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sigs, 8, 4).collect()
+    }
+    assert via_helper == via_op
+    renamed = band_buckets(sigs, 8, 4, id_out="corpus_doc_id")
+    assert {
+        (r.corpus_doc_id, r.band, r.bh) for r in renamed.collect()
+    } == {(r.doc_id, r.band, r.bh) for r in bk.collect()}
