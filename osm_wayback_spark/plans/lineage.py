@@ -12,7 +12,7 @@ of its data (resume = skip), an interrupted one (no marker) is
 recomputed and overwritten. The reference's analog is its run
 counters + staged files (add_history.cpp:54-60, README.md:52-62);
 here the metrics are computed distributedly JVM-side (xxhash64 +
-bit-XOR per spark_partition_id) — only the per-partition summary
+modular sum per spark_partition_id) — only the per-partition summary
 ever reaches the driver.
 """
 
@@ -39,25 +39,36 @@ def stage_complete(root: str, stage: str) -> bool:
     return os.path.exists(_paths(root, stage)[2])
 
 
+_CHECKSUM_MOD = 2_305_843_009_213_693_951  # 2^61 - 1 (Mersenne prime)
+
+
 def partition_metrics(written: DataFrame) -> DataFrame:
     """→ (partition_id, rows_out, checksum), fully JVM-side: xxhash64
     over the to_json'd row (one deterministic string per row — covers
-    map/array/binary columns that raw xxhash64 can't take), bit-XOR +
-    count aggregated per spark_partition_id. Partial aggregation
-    reduces each partition map-side, so the shuffle carries ONE row
-    per partition regardless of data size."""
+    map/array/binary columns that raw xxhash64 can't take), then a
+    modular SUM + count aggregated per spark_partition_id.
+
+    SUM (not XOR — round-4 advice): bit-XOR cancels any row duplicated
+    an even number of times, making equal-count content swaps of
+    duplicated rows invisible; a sum of the per-row hashes is still
+    order-insensitive but multiplicity-sensitive. Each term is
+    ``pmod(h, 2^31)`` so the long sum cannot overflow below ~4.3e9
+    rows per partition (overflow would throw under ANSI mode); the
+    final sum is folded mod 2^61-1. Partial aggregation reduces each
+    partition map-side, so the shuffle carries ONE row per partition
+    regardless of data size."""
     row_hash = F.xxhash64(
         F.to_json(F.struct(*[F.col(c) for c in written.columns]))
     )
     return (
         written.select(
             F.spark_partition_id().alias("partition_id"),
-            row_hash.alias("_h"),
+            F.pmod(row_hash, F.lit(2**31)).alias("_h"),
         )
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("rows_out"),
-            F.bit_xor("_h").alias("checksum"),
+            F.pmod(F.sum("_h"), F.lit(_CHECKSUM_MOD)).alias("checksum"),
         )
     )
 
@@ -70,8 +81,8 @@ def write_stage(df: DataFrame, root: str, stage: str) -> None:
     output through Python just to count/checksum it — a full-corpus
     tax at 100 TB). Now: xxhash64 over the to_json'd row (one string
     per row, handles map/array/binary columns deterministically),
-    bit-XOR-aggregated per spark_partition_id with map-side partial
-    aggregation — the shuffle carries one row per partition.
+    modular-sum-aggregated per spark_partition_id with map-side
+    partial aggregation — the shuffle carries one row per partition.
     ``wall_ms`` records the lineage pass wall (driver-measured,
     replicated per row — per-partition task walls live in the Spark
     event log; burning a Python pass to duplicate them is the wrong

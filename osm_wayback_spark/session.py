@@ -110,3 +110,37 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Make sure a RELIABLE checkpoint dir is configured before an
+    eager ``.checkpoint()`` (ANN candidate materialization, kNN
+    certificate slices).
+
+    Local master only: default to a driver-local temp dir — in
+    local mode driver == executor, so the path is visible to every
+    task. On any OTHER master a reliable checkpoint must live on
+    storage ALL executors can reach (HDFS/S3/shared FS); silently
+    defaulting to tempfile.gettempdir() would scatter per-machine
+    fragments and corrupt the read-back (round-4 advice), so require
+    an explicit ``spark.sparkContext.setCheckpointDir(...)`` and fail
+    loudly when it is missing."""
+    import os
+    import tempfile
+
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return
+    if sc.master.startswith("local"):
+        sc.setCheckpointDir(
+            os.path.join(tempfile.gettempdir(), "osm_wayback_spark_ckpt")
+        )
+        return
+    raise RuntimeError(
+        "no checkpoint dir configured: reliable checkpoints on a "
+        f"non-local master ({sc.master!r}) need a shared filesystem "
+        "path visible to all executors — call "
+        "spark.sparkContext.setCheckpointDir('hdfs://... or s3://...') "
+        "before using operators that materialize candidates "
+        "(ann_* with fallback=True, knn_exact)"
+    )

@@ -54,6 +54,28 @@ def test_lineage_pass_is_jvm_native(spark):
     assert changed != {p: r.checksum for p, r in rows.items()}
 
 
+def test_checksum_is_multiplicity_sensitive(spark):
+    """Round-4 advice: the old bit-XOR checksum cancelled any row
+    duplicated an even number of times, so swapping one duplicated
+    row for another (same cardinality) was invisible. The modular-sum
+    checksum must distinguish {A,A,B} from {A,B,B} (rows_out equal)."""
+    a = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "id long, s string"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "y")], "id long, s string"
+    ).coalesce(1)
+    ra = lineage.partition_metrics(a).collect()[0]
+    rb = lineage.partition_metrics(b).collect()[0]
+    assert ra.rows_out == rb.rows_out == 3
+    assert ra.checksum != rb.checksum
+    # order-insensitive: a reordering of the same multiset matches
+    a2 = spark.createDataFrame(
+        [(2, "y"), (1, "x"), (1, "x")], "id long, s string"
+    ).coalesce(1)
+    assert lineage.partition_metrics(a2).collect()[0].checksum == ra.checksum
+
+
 def test_incomplete_stage_recomputed(spark, tmp_path):
     import os
 

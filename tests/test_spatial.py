@@ -165,6 +165,29 @@ def test_knn_exact_matches_brute(spark, pts):
     assert exact == brute
 
 
+def test_knn_exact_leaves_no_persisted_frames(spark, pts):
+    """knn_exact persists the ring-candidate frame while the
+    certificate is derived, but must release it before returning
+    (round-4 verdict: it leaked one cached frame per call — the same
+    session-lifetime pattern fixed in _guarantee_k and
+    knn_cells(expand=True))."""
+    from osm_wayback_spark.operators.spatial import knn_exact
+
+    def persisted_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(str(k)) for k in jmap.keySet().toArray()}
+
+    _rows, pdf = pts
+    queries = spark.createDataFrame(
+        [(i, float(i * 25 - 100), float(i * 11 - 30)) for i in range(8)],
+        "query_id long, lon double, lat double",
+    )
+    before = persisted_ids()
+    knn_exact(pdf, queries, k=4, res=4, ring=1).count()
+    leaked = persisted_ids() - before
+    assert not leaked, f"persisted RDDs leaked by knn_exact: {leaked}"
+
+
 def test_knn_cells_plan_has_no_python_row_udf(spark):
     """The ring expansion must stay native (neighbor_cells column
     math): no BatchEvalPython / PythonUDF node may appear in the
