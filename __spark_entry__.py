@@ -370,6 +370,74 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a PREBUILT persisted IVF index (train-once,
+    cell-partitioned assignment table, static partition pruning) —
+    same materialized-candidates oracle pattern as ann_lsh/ann_ivf:
+    the pruned candidate set is written to parquet and DuckDB
+    re-ranks the SAME candidates."""
+    import os
+
+    from osm_wayback_spark.operators.similarity import (
+        ann_ivf_indexed_candidates,
+        rerank_topk,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    idx = f"{_ORACLE_DIR}/ivf_index"
+    write_ivf_index(emb, idx, n_centroids=16, iters=3)
+    path = f"{_ORACLE_DIR}/ann_ivf_indexed_cands.parquet"
+    ann_ivf_indexed_candidates(
+        emb, queries, idx, k=5, nprobe=6
+    ).write.mode("overwrite").parquet(path)
+    out = rerank_topk(emb, queries, spark.read.parquet(path), k=5)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — zonal statistics: the event-count raster (res-7 cells)
+    aggregated per nation rectangle (the same polygons as `pip`).
+    Oracle: DuckDB recomputes the raster with the shared cell-id SQL,
+    derives each cell's CENTER by inverting the quadtree packing
+    (integer x/y extraction + exact mercator inverse), and joins
+    center-in-rectangle — plain SQL because the polygons are
+    axis-aligned."""
+    from osm_wayback_spark.functions.cells import cell_id
+    from osm_wayback_spark.operators.raster import zonal_stats
+
+    nation = _t(spark, sf_dir, "nation")
+    lon0 = ((F.col("n_nationkey") * 14) % 340 - 170 + 0.25).cast("double")
+    lat0 = ((F.col("n_nationkey") * 6) % 150 - 75 + 0.25).cast("double")
+    lon1, lat1 = lon0 + 12.5, lat0 + 5.5
+    rings = F.format_string(
+        "[[[%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f]]]",
+        lon0, lat0, lon1, lat0, lon1, lat1, lon0, lat1, lon0, lat0,
+    )
+    polys = nation.select(
+        F.col("n_nationkey").alias("polygon_id"), rings.alias("rings_json")
+    )
+    pts = _event_points(spark, sf_dir)
+    values = (
+        pts.select(cell_id(F.col("lon"), F.col("lat"), 7).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("value"))
+    )
+    out = zonal_stats(values, polys, res=7)
+    return out.select(
+        "polygon_id",
+        "n_cells",
+        F.col("v_min").cast("bigint").alias("v_min"),
+        F.col("v_max").cast("bigint").alias("v_max"),
+        F.col("v_sum").cast("bigint").alias("v_sum"),
+        F.round("v_avg", 6).alias("v_avg"),
+    )
+
+
 def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-pruned EXACT kNN (boundary certificate + brute fallback) —
     oracle-checked against the same brute-force SQL as `knn`."""
@@ -820,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
+        "zonal_stats": q_zonal_stats,
         "knn_exact": q_knn_exact,
         "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,
@@ -1160,6 +1230,60 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "ann_ivf_indexed": f"""
+            WITH cand AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{_ORACLE_DIR}/ann_ivf_indexed_cands.parquet/*.parquet')
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(
+                       list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS cosine
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.vec_id
+            )
+            SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "zonal_stats": f"""
+            WITH pts AS ({_EVENT_POINTS_SQL}),
+            raster AS (
+              SELECT ({cell7}) AS cell, count(*) AS v FROM pts GROUP BY 1
+            ),
+            centers AS (
+              -- cell center by inverting the quadtree packing; DuckDB
+              -- has no sinh, so sinh(t) = (exp(t) - exp(-t)) / 2
+              SELECT cell, v,
+                     (((cell % 288230376151711744) // 536870912) + 0.5)
+                       / 128.0 * 360.0 - 180.0 AS clon,
+                     degrees(atan((exp(pi()
+                       * (1.0 - 2.0 * ((cell % 536870912) + 0.5) / 128.0))
+                       - exp(-pi()
+                       * (1.0 - 2.0 * ((cell % 536870912) + 0.5) / 128.0))) / 2.0)) AS clat
+              FROM raster
+            )
+            SELECT n.n_nationkey AS polygon_id,
+                   count(*) AS n_cells,
+                   CAST(min(c.v) AS BIGINT) AS v_min,
+                   CAST(max(c.v) AS BIGINT) AS v_max,
+                   CAST(sum(c.v) AS BIGINT) AS v_sum,
+                   round(avg(c.v), 6) AS v_avg
+            FROM centers c
+            JOIN nation n
+              ON c.clon > (n.n_nationkey * 14) % 340 - 170 + 0.25
+             AND c.clon < (n.n_nationkey * 14) % 340 - 170 + 0.25 + 12.5
+             AND c.clat > (n.n_nationkey * 6) % 150 - 75 + 0.25
+             AND c.clat < (n.n_nationkey * 6) % 150 - 75 + 0.25 + 5.5
+            GROUP BY 1
         """,
         "dedup_exact": """
             SELECT doc_id,
