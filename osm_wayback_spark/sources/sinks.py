@@ -10,11 +10,13 @@
 - ``to_topojson_history``: the reference's WRITE_TOPOJSON_HISTORY
   output mode (map-geom-reconstruction.js:257-275), backed by the
   pure-Python topology encoder in functions/topojson.py.
-- ``write_mbtiles``: the reference's final artifact container
+- ``write_mbtiles``: the reference's final artifact
   (run.sh:65 tippecanoe → .mbtiles): a real MBTiles 1.3 sqlite file
-  (TMS tile addressing, unique tile index, metadata table) with a
-  documented payload substitution (gzip'd GeoJSON lines instead of
-  MVT protobuf — no MVT encoder ships here).
+  (TMS tile addressing, unique tile index, metadata table) whose
+  tile payloads are gzip'd Mapbox Vector Tile 2.1 protobufs encoded
+  by the pure-Python functions/mvt.py (``format: pbf`` — full format
+  parity); gzip'd GeoJSON lines remain available via
+  ``payload="json"``.
 """
 
 from __future__ import annotations
@@ -62,42 +64,77 @@ def write_mbtiles(
     name: str = "osm_wayback_spark",
     feature_col: str = "feature_json",
     compress: bool = True,
+    payload: str = "mvt",
+    layer_name: str = "features",
 ) -> dict:
     """Export an ``assign_tiles`` output (z, x, y, …, feature_json)
     into a REAL `.mbtiles` sqlite container — the reference's final
     artifact shape (run.sh:65: tippecanoe → osm-wayback.mbtiles).
 
-    Container parity, payload substitution: tippecanoe encodes Mapbox
-    Vector Tile protobufs; no MVT encoder ships here, so tile_data is
-    a (gzip'd) newline-delimited GeoJSON feature list and the
-    metadata table says ``format: json`` — same tile addressing, same
-    container, documented payload format difference (README
-    "Iceberg/format substitutions" table).
+    ``payload="mvt"`` (default): tile_data is a gzip'd Mapbox Vector
+    Tile 2.1 protobuf (pure-Python encoder, functions/mvt.py;
+    ``metadata.format = "pbf"``) — full format parity with the
+    tippecanoe artifact. ``payload="json"`` keeps the previous
+    newline-delimited-GeoJSON payload (``format: json``) for
+    consumers that want tiles without an MVT reader.
 
     Spec fidelity (MBTiles 1.3): the ``tiles`` table uses the TMS
     scheme — ``tile_row = 2^z - 1 - y`` (the XYZ y-flip) — with the
     spec's unique index, plus the required ``metadata`` table.
 
-    Scale shape: the per-tile payload is aggregated DISTRIBUTEDLY
+    Scale shape: per-tile feature lists are aggregated DISTRIBUTEDLY
     (one groupBy(z, x, y) with a sorted collect_list → deterministic
-    bytes), then streamed into sqlite via ``toLocalIterator`` — the
-    driver holds ONE partition at a time, never the corpus. A
-    single-file sqlite artifact is inherently single-writer; the
-    reference pays the same serial step (tippecanoe runs on one
-    node over the full export).
+    bytes) and the MVT encoding runs in an Arrow-batched kernel on
+    the executors (pure per-tile math) — only finished blobs stream
+    through the driver into sqlite via ``toLocalIterator`` (one
+    partition at a time, never the corpus). A single-file sqlite
+    artifact is inherently single-writer; the reference pays the
+    same serial step (tippecanoe runs on one node over the full
+    export).
     """
     import gzip
     import sqlite3
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if payload not in ("mvt", "json"):
+        raise ValueError(f"payload must be 'mvt' or 'json', got {payload!r}")
 
     per_tile = (
         tiles.groupBy("z", "x", "y")
-        .agg(
-            F.concat_ws(
-                "\n", F.sort_array(F.collect_list(F.col(feature_col)))
-            ).alias("_data")
-        )
-        .select("z", "x", "y", "_data")
+        .agg(F.sort_array(F.collect_list(F.col(feature_col))).alias("_feats"))
+        .select("z", "x", "y", "_feats")
     )
+
+    if payload == "mvt":
+        from ..functions.mvt import encode_tile_from_json
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                blobs = [
+                    encode_tile_from_json(
+                        list(feats), int(z), int(x), int(y), layer_name
+                    )
+                    for z, x, y, feats in zip(
+                        pdf["z"], pdf["x"], pdf["y"], pdf["_feats"]
+                    )
+                ]
+                yield pd.DataFrame(
+                    {"z": pdf["z"], "x": pdf["x"], "y": pdf["y"], "_data": blobs}
+                )
+
+        encoded = per_tile.mapInPandas(
+            kernel, schema="z int, x long, y long, _data binary"
+        )
+    else:
+        encoded = per_tile.select(
+            "z",
+            "x",
+            "y",
+            F.encode(F.concat_ws("\n", "_feats"), "UTF-8").alias("_data"),
+        )
+
     con = sqlite3.connect(path)
     try:
         cur = con.cursor()
@@ -110,8 +147,8 @@ def write_mbtiles(
         cur.execute("CREATE TABLE metadata (name text, value text)")
         n_tiles = 0
         zmin = zmax = None
-        for row in per_tile.toLocalIterator():
-            data = row._data.encode("utf-8")
+        for row in encoded.toLocalIterator():
+            data = bytes(row._data)
             if compress:
                 # fixed mtime → byte-deterministic output
                 data = gzip.compress(data, mtime=0)
@@ -129,7 +166,7 @@ def write_mbtiles(
         )
         meta = {
             "name": name,
-            "format": "json",
+            "format": "pbf" if payload == "mvt" else "json",
             "compression": "gzip" if compress else "none",
             "minzoom": str(zmin if zmin is not None else 0),
             "maxzoom": str(zmax if zmax is not None else 0),

@@ -54,9 +54,9 @@ def test_observed_counts(spark):
 
 
 def test_write_mbtiles_container(spark, tmp_path):
-    """Real MBTiles 1.3 container: TMS y-flip, unique tile index,
-    metadata table, gzip'd deterministic per-tile payload that
-    decodes back to the input features."""
+    """Real MBTiles 1.3 container (payload="json" option): TMS
+    y-flip, unique tile index, metadata table, gzip'd deterministic
+    per-tile payload that decodes back to the input features."""
     import gzip
     import sqlite3
 
@@ -73,7 +73,7 @@ def test_write_mbtiles_container(spark, tmp_path):
     )
     tiles = assign_tiles(df, z=7)
     path = str(tmp_path / "out.mbtiles")
-    stats = write_mbtiles(tiles, path, name="t")
+    stats = write_mbtiles(tiles, path, name="t", payload="json")
     assert stats["tiles"] == 2 and stats["minzoom"] == stats["maxzoom"] == 7
 
     con = sqlite3.connect(path)
@@ -105,7 +105,9 @@ def test_write_mbtiles_container(spark, tmp_path):
 
     # deterministic bytes: re-export produces identical tile blobs
     path2 = str(tmp_path / "out2.mbtiles")
-    write_mbtiles(assign_tiles(df.repartition(3), z=7), path2, name="t")
+    write_mbtiles(
+        assign_tiles(df.repartition(3), z=7), path2, name="t", payload="json"
+    )
     con2 = sqlite3.connect(path2)
     blobs1 = dict(
         (tuple(r[:3]), r[3]) for r in rows
