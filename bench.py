@@ -43,6 +43,13 @@ best-of-N ``efficiency`` (protocol headline since round 1) and the
 companion ``efficiency_paired`` (median of per-round paired wall
 ratios — robust to a single pass colliding with a load burst).
 
+Round-5 refinement — the per-query section is noise-hardened the
+same way: every per-query wall (and pipeline_e2e) is the best of
+SPARK_GRAFT_BENCH_QUERY_PASSES (default 2) timed passes, so one
+pass colliding with a host-load burst no longer defines the
+recorded number. A tolerant-parse extraction wall
+(``extract_tolerant``) tracks the real-crawl configuration.
+
 Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling block,
 SPARK_GRAFT_BENCH_STAGED=1 to also time the staged (resumable)
 pipeline variant, SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as usual.
@@ -468,8 +475,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # Round-5 (r4 verdict item 6): best-of-N timed passes per query.
+    # The r4 driver artifact read 13.4 s e2e vs 8.45 s for the SAME
+    # build in a clean window — single-pass walls on a shared host
+    # sample one noise epoch. Two passes land in different epochs and
+    # the min recovers the engine's number at the cost of ~30 s extra
+    # suite wall. (The scaling block already has its own interleaved
+    # quiet-epoch machinery.)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_PASSES", "2"))
+
+    def best_of(fn) -> float:
+        best = None
+        for _ in range(passes):
+            t1 = time.time()
+            fn()
+            w = time.time() - t1
+            best = w if best is None or w < best else best
+        return round(best, 3)
+
     t0 = time.time()
     n_pages, n_tiles, wall = core_job(spark)
+    for _ in range(passes - 1):
+        spark.catalog.clearCache()
+        n_pages, n_tiles, w2 = core_job(spark)
+        wall = min(wall, w2)
     timings["pipeline_e2e"] = round(wall, 3)
     extras["pages_per_sec"] = round(n_pages / wall, 1)
     extras["tiles_per_sec"] = round(n_tiles / wall, 1)
@@ -489,18 +518,25 @@ def main() -> None:
     ]
     qs = entrymod.queries()
     for name in bench_queries:
-        t1 = time.time()
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t1, 3)
+        timings[name] = best_of(lambda: qs[name](spark, SF_DIR).count())
     # minhash fast-hash path: native xxhash64 (JVM int64 min) vs the
     # md5 hex default — md5 exists only for DuckDB oracle parity, so
     # this is the production configuration's wall number
     from osm_wayback_spark.operators.dedup import minhash_signatures as _mh
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t1 = time.time()
-    _mh(docs, num_hashes=4, hash_fn="xxhash64").count()
-    timings["minhash_signatures_xxh"] = round(time.time() - t1, 3)
+    timings["minhash_signatures_xxh"] = best_of(
+        lambda: _mh(docs, num_hashes=4, hash_fn="xxhash64").count()
+    )
+    # tolerant-parse extraction (r4 verdict item 7): the real-crawl
+    # configuration — lxml/stdlib HTML parse instead of the exact
+    # byte-marker island pull — carries a tracked wall number
+    from osm_wayback_spark.sources.extract import extract_versions as _ev
+
+    pages = _pages_cache(spark)
+    timings["extract_tolerant"] = best_of(
+        lambda: _ev(pages, tolerant=True).count()
+    )
     # hot-key stress: the salted-vs-plain collect carries a wall
     # number, not just a pytest equivalence (one 150K-version id)
     timings["skew_history_plain"] = round(skew_job(spark, salted=False), 3)
