@@ -438,6 +438,29 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — vector → raster: every res-7 cell whose CENTER lies inside
+    a nation rectangle (center-sampling rasterization). Oracle: DuckDB
+    enumerates each polygon's bbox tile range with generate_series,
+    derives cell centers by the exact mercator inverse, and keeps
+    strict center-in-rectangle — the same candidate-then-refine shape
+    as the kernel, in plain SQL."""
+    from osm_wayback_spark.operators.raster import rasterize_polygons
+
+    nation = _t(spark, sf_dir, "nation")
+    lon0 = ((F.col("n_nationkey") * 14) % 340 - 170 + 0.25).cast("double")
+    lat0 = ((F.col("n_nationkey") * 6) % 150 - 75 + 0.25).cast("double")
+    lon1, lat1 = lon0 + 12.5, lat0 + 5.5
+    rings = F.format_string(
+        "[[[%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f], [%.2f, %.2f]]]",
+        lon0, lat0, lon1, lat0, lon1, lat1, lon0, lat1, lon0, lat0,
+    )
+    polys = nation.select(
+        F.col("n_nationkey").alias("polygon_id"), rings.alias("rings_json")
+    )
+    return rasterize_polygons(polys, res=7)
+
+
 def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-pruned EXACT kNN (boundary certificate + brute fallback) —
     oracle-checked against the same brute-force SQL as `knn`."""
@@ -890,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "zonal_stats": q_zonal_stats,
+        "rasterize": q_rasterize,
         "knn_exact": q_knn_exact,
         "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,
@@ -1284,6 +1308,52 @@ def oracle_sql() -> dict[str, str]:
              AND c.clat > (n.n_nationkey * 6) % 150 - 75 + 0.25
              AND c.clat < (n.n_nationkey * 6) % 150 - 75 + 0.25 + 5.5
             GROUP BY 1
+        """,
+        "rasterize": """
+            WITH b AS (
+              SELECT n_nationkey AS polygon_id,
+                     (n_nationkey * 14) % 340 - 170 + 0.25 AS lon0,
+                     (n_nationkey * 6) % 150 - 75 + 0.25 AS lat0,
+                     (n_nationkey * 14) % 340 - 170 + 0.25 + 12.5 AS lon1,
+                     (n_nationkey * 6) % 150 - 75 + 0.25 + 5.5 AS lat1
+              FROM nation
+            ),
+            rng AS (
+              SELECT polygon_id, lon0, lat0, lon1, lat1,
+                     CAST(greatest(0, least(127,
+                       floor((lon0 + 180.0) / 360.0 * 128.0))) AS BIGINT) AS x0,
+                     CAST(greatest(0, least(127,
+                       floor((lon1 + 180.0) / 360.0 * 128.0))) AS BIGINT) AS x1,
+                     -- y grows southward: max lat (lat1) -> min y
+                     CAST(greatest(0, least(127, floor((1.0
+                       - ln(tan(radians(lat1)) + 1.0 / cos(radians(lat1))) / pi()
+                       ) / 2.0 * 128.0))) AS BIGINT) AS y0,
+                     CAST(greatest(0, least(127, floor((1.0
+                       - ln(tan(radians(lat0)) + 1.0 / cos(radians(lat0))) / pi()
+                       ) / 2.0 * 128.0))) AS BIGINT) AS y1
+              FROM b
+            ),
+            -- one unnest per SELECT level: cross product of x and y
+            cx AS (
+              SELECT polygon_id, lon0, lat0, lon1, lat1, y0, y1,
+                     unnest(generate_series(x0, x1)) AS x
+              FROM rng
+            ),
+            cand AS (
+              SELECT polygon_id, lon0, lat0, lon1, lat1, x,
+                     unnest(generate_series(y0, y1)) AS y
+              FROM cx
+            )
+            SELECT polygon_id,
+                   CAST(7 * 288230376151711744 + x * 536870912 + y
+                        AS BIGINT) AS cell
+            FROM cand
+            WHERE ((x + 0.5) / 128.0 * 360.0 - 180.0) > lon0
+              AND ((x + 0.5) / 128.0 * 360.0 - 180.0) < lon1
+              AND degrees(atan((exp(pi() * (1.0 - 2.0 * (y + 0.5) / 128.0))
+                    - exp(-pi() * (1.0 - 2.0 * (y + 0.5) / 128.0))) / 2.0)) > lat0
+              AND degrees(atan((exp(pi() * (1.0 - 2.0 * (y + 0.5) / 128.0))
+                    - exp(-pi() * (1.0 - 2.0 * (y + 0.5) / 128.0))) / 2.0)) < lat1
         """,
         "dedup_exact": """
             SELECT doc_id,
