@@ -438,6 +438,42 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal AS-OF join (operators/relations.member_ways_asof, the
+    member-resolution half of the true relation-geometry extension):
+    synthetic way validity intervals (valid_since = event ts,
+    valid_until = lead) joined as-of each synthetic relation-member
+    timestamp. Fully relational (left join with the interval predicate
+    + one window), so the DuckDB oracle mirrors it exactly."""
+    from pyspark.sql import Window as W
+
+    from osm_wayback_spark.operators.relations import member_ways_asof
+
+    ev = _t(spark, sf_dir, "events")
+    wg_src = ev.filter(F.col("event_id") % 7 == 0)
+    w = W.partitionBy(F.col("event_id") % 97).orderBy("ts", "event_id")
+    way_geoms = wg_src.select(
+        (F.col("event_id") % 97).alias("way_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_since"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias(
+            "valid_until"
+        ),
+        F.col("event_id").cast("string").alias("coords_json"),
+    )
+    mw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    members = ev.filter(F.col("event_id") % 7 == 1).select(
+        F.col("user_id").alias("id"),
+        F.row_number().over(mw).cast("bigint").alias("version"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        F.lit(0).cast("int").alias("member_idx"),
+        (F.col("event_id") % 97).alias("member_ref"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("outer"))
+        .otherwise(F.lit("inner"))
+        .alias("member_role"),
+    )
+    return member_ways_asof(members, way_geoms)
+
+
 def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 — vector → raster: every res-7 cell whose CENTER lies inside
     a nation rectangle (center-sampling rasterization). Oracle: DuckDB
@@ -914,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "zonal_stats": q_zonal_stats,
         "rasterize": q_rasterize,
+        "asof_join": q_asof_join,
         "knn_exact": q_knn_exact,
         "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,
@@ -1308,6 +1345,43 @@ def oracle_sql() -> dict[str, str]:
              AND c.clat > (n.n_nationkey * 6) % 150 - 75 + 0.25
              AND c.clat < (n.n_nationkey * 6) % 150 - 75 + 0.25 + 5.5
             GROUP BY 1
+        """,
+        "asof_join": """
+            WITH wg AS (
+              SELECT e.event_id % 97 AS way_id,
+                     epoch_us(e.ts) AS valid_since,
+                     lead(epoch_us(e.ts)) OVER (
+                       PARTITION BY e.event_id % 97
+                       ORDER BY e.ts, e.event_id) AS valid_until,
+                     CAST(e.event_id AS VARCHAR) AS coords_json
+              FROM events e WHERE e.event_id % 7 = 0
+            ),
+            mem AS (
+              SELECT e.user_id AS id,
+                     CAST(row_number() OVER (
+                       PARTITION BY e.user_id
+                       ORDER BY e.ts, e.event_id) AS BIGINT) AS version,
+                     epoch_us(e.ts) AS ts,
+                     CAST(0 AS INTEGER) AS member_idx,
+                     e.event_id % 97 AS member_ref,
+                     CASE WHEN e.event_id % 2 = 0 THEN 'outer'
+                          ELSE 'inner' END AS member_role
+              FROM events e WHERE e.event_id % 7 = 1
+            )
+            SELECT id, version, ts, member_idx, member_ref, member_role,
+                   coords_json
+            FROM (
+              SELECT m.*, w.valid_since, w.coords_json,
+                     row_number() OVER (
+                       PARTITION BY m.id, m.version, m.member_idx
+                       ORDER BY w.valid_since DESC NULLS LAST,
+                                w.coords_json DESC NULLS LAST) AS rn
+              FROM mem m
+              LEFT JOIN wg w
+                ON m.member_ref = w.way_id
+               AND w.valid_since <= m.ts
+               AND (w.valid_until IS NULL OR m.ts < w.valid_until)
+            ) WHERE rn = 1
         """,
         "rasterize": """
             WITH b AS (
