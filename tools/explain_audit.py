@@ -92,9 +92,20 @@ def main() -> None:
         "lineage metrics (staged pipeline): JVM-native per-partition checksums",
         partition_metrics(t["versions"]),
         [
-            "xxhash64(to_json(row)) + bit_xor/count per spark_partition_id; "
+            "xxhash64(to_json(row)) + modular-sum/count per "
+            "spark_partition_id (sum, not XOR — multiplicity-sensitive); "
             "partial aggregation reduces map-side, the shuffle carries one "
             "row per partition — the stage output never crosses into Python",
+        ],
+    )
+
+    add(
+        "asof_join (relation member resolution): interval left join + window",
+        e.q_asof_join(spark, SF),
+        [
+            "ONE left join with the validity-interval predicate in the "
+            "join condition + one latest-valid-since window — fully "
+            "relational, no Python node (the assembly kernel runs AFTER)",
         ],
     )
 
@@ -127,6 +138,28 @@ def main() -> None:
             "starved query ids",
             "rank<=k triggers WindowGroupLimit partial top-k before the "
             "final exchange",
+        ],
+    )
+
+    import tempfile
+
+    from osm_wayback_spark.operators.similarity import (
+        ann_ivf_indexed_candidates,
+        write_ivf_index,
+    )
+
+    idx = tempfile.mkdtemp(prefix="audit_ivf_") + "/ivf"
+    write_ivf_index(emb, idx, n_centroids=8, iters=2)
+    add(
+        "ann_ivf_indexed (prebuilt index): checkpointed probe + pruned scan",
+        ann_ivf_indexed_candidates(emb, emb.limit(20), idx, 5, nprobe=2,
+                                   fallback=False),
+        [
+            "the pandas-UDF probe ran ONCE during the eager checkpoint — "
+            "this plan reads checkpoint files, zero Python nodes",
+            "the IN-filter on the partition column reaches the "
+            "assignment scan as a PartitionFilter: only nprobe cells' "
+            "files are read",
         ],
     )
 
