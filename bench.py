@@ -515,6 +515,9 @@ def main() -> None:
         "dedup_exact",
         "minhash_signatures",
         "text_stats",
+        # round-5 operators: zonal raster agg + temporal as-of join
+        "zonal_stats",
+        "asof_join",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -322,7 +322,12 @@ def ann_lsh(
     native bitwiseXOR explode), ``fallback`` (guaranteed k results
     per query — one doubled-radius ``escalate`` round, then
     full-corpus candidates for queries still starved).
-    """
+
+    Note: ``fallback=True`` is EAGER — the candidate set is
+    materialized via a reliable checkpoint at call time (Spark jobs
+    run before this returns; see _guarantee_k). On a non-local
+    master a shared checkpoint dir must be configured
+    (session.ensure_checkpoint_dir)."""
     cands = ann_lsh_candidates(
         embeddings, queries, k, n_planes, tables, probes, fallback, escalate
     )
@@ -739,7 +744,9 @@ def ann_ivf(
     once on a sample, reuse; raw centroids are unit-normalized when
     ``spherical``). ``fallback`` guarantees k results per query — one
     doubled-nprobe ``escalate`` round, then full-corpus candidates
-    for queries still starved."""
+    for queries still starved. Like ann_lsh, ``fallback=True`` is
+    EAGER (reliable checkpoint at call time; non-local masters need a
+    configured shared checkpoint dir)."""
     cands = ann_ivf_candidates(
         embeddings, queries, k, n_centroids, nprobe, iters, centroids,
         fallback, spherical, escalate,

@@ -156,3 +156,59 @@ def test_shingle_semantics_python_model(tokens, n):
     else:
         got = {" ".join(words)}
     assert got == exp
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-179.9, max_value=179.9),
+            st.floats(min_value=-84.9, max_value=84.9),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=50, deadline=None)
+def test_mvt_geometry_roundtrip(points, z):
+    """Pure-core MVT property: any MultiPoint encodes then decodes to
+    exactly its projected integer tile coordinates, for any zoom and
+    the tile containing the first point (coords outside the tile are
+    legal per-spec buffer values and must survive too)."""
+    from osm_wayback_spark.functions.mvt import (
+        decode_tile,
+        encode_tile,
+        project,
+    )
+
+    # tile of the first point at this zoom
+    n = 1 << z
+    tx = min(n - 1, max(0, int((points[0][0] + 180.0) / 360.0 * n)))
+    import math
+
+    lat = points[0][1]
+    rad = math.radians(lat)
+    merc = math.log(math.tan(rad) + 1.0 / math.cos(rad))
+    ty = min(n - 1, max(0, int((1.0 - merc / math.pi) / 2.0 * n)))
+    feat = {
+        "type": "Feature",
+        "geometry": {
+            "type": "MultiPoint",
+            "coordinates": [[lon, lat] for lon, lat in points],
+        },
+        "properties": {"n": len(points)},
+    }
+    layer = decode_tile(encode_tile([feat], z, tx, ty))["features"]
+    (f,) = layer["features"]
+    got = [pt for part in f["parts"] for pt in part]
+    exp = [project(lon, lat, z, tx, ty) for lon, lat in points]
+    assert got == exp
+    assert f["properties"] == {"n": len(points)}
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_mvt_zigzag_roundtrip_property(n):
+    from osm_wayback_spark.functions.mvt import _unzigzag, _zigzag
+
+    assert _unzigzag(_zigzag(n)) == n
