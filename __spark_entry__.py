@@ -438,6 +438,84 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SEQ = __import__("itertools").count()
+
+
+def _stream_dir(sf_dir: str, table: str = "events") -> str:
+    """The parquet file-stream source lists a DIRECTORY; the driver
+    tables are single files. Memoize a copy of the table into a
+    cache directory once (same memoization contract as _pages: the
+    input is immutable, the copy is just staging)."""
+    import os
+    import shutil
+
+    sf = sf_dir.rstrip("/").split("/")[-1]
+    d = f"/root/repo/.cache/stream_{table}_{sf}"
+    dst = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(f"{sf_dir}/{table}.parquet", dst)
+    return d
+
+
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — the watermarked tumbling-window aggregation executed as a
+    REAL streaming query: parquet stream source → Trigger.AvailableNow
+    drain into a memory sink, returned as the drained batch table.
+    AvailableNow + complete mode is deterministic batch-equivalent, so
+    the DuckDB oracle is plain date_trunc GROUP BY SQL — the streaming
+    operator gets the hard hash gate, not just the pytest golden.
+    (Counts only: double sums are FP-order-dependent across engines.)"""
+    from osm_wayback_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    name = f"q_stream_win_{next(_STREAM_SEQ)}"
+    stream = read_event_stream(spark, _stream_dir(sf_dir))
+    run_available_now(
+        windowed_event_counts(stream), name, output_mode="complete"
+    )
+    return spark.table(name).select(
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias(
+            "window_start_us"
+        ),
+        "event_type",
+        "n",
+    )
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — session_window gap clustering as a REAL streaming query
+    (AvailableNow drain), oracle-checked against the classic
+    gaps-and-islands SQL (lag diff > gap → cumulative-sum session id;
+    session end = last event + gap, Spark's session_window semantic).
+    Timestamps are microsecond-grained, so the gap boundary is
+    tie-free."""
+    from osm_wayback_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        sessionize,
+    )
+
+    name = f"q_stream_sess_{next(_STREAM_SEQ)}"
+    stream = read_event_stream(spark, _stream_dir(sf_dir))
+    run_available_now(
+        sessionize(stream, gap="5 minutes"), name, output_mode="complete"
+    )
+    return spark.table(name).select(
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias(
+            "session_end_us"
+        ),
+        "user_id",
+        "n_events",
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal AS-OF join (operators/relations.member_ways_asof, the
     member-resolution half of the true relation-geometry extension):
@@ -951,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "rasterize": q_rasterize,
         "asof_join": q_asof_join,
+        "streaming_window": q_streaming_window,
+        "streaming_sessionize": q_streaming_sessionize,
         "knn_exact": q_knn_exact,
         "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,
@@ -1345,6 +1425,32 @@ def oracle_sql() -> dict[str, str]:
              AND c.clat > (n.n_nationkey * 6) % 150 - 75 + 0.25
              AND c.clat < (n.n_nationkey * 6) % 150 - 75 + 0.25 + 5.5
             GROUP BY 1
+        """,
+        "streaming_window": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "streaming_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 300000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            g AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT epoch_us(min(ts)) AS session_start_us,
+                   epoch_us(max(ts)) + 300000000 AS session_end_us,
+                   user_id, count(*) AS n_events
+            FROM g GROUP BY user_id, sid
         """,
         "asof_join": """
             WITH wg AS (

@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 def read_event_stream(
     spark: SparkSession, path: str, schema=None
 ) -> DataFrame:
+    """Parquet file-stream source. ``path`` must be a DIRECTORY (the
+    file stream source lists a directory for arriving files; a bare
+    single-file path is rejected by Spark's basePath check — stage
+    single files into a directory first)."""
     if schema is None:
         schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(path)
