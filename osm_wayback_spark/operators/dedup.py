@@ -64,7 +64,13 @@ def _cap_buckets(
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """→ (doc_id, keep_id, is_dup): keep_id = min doc_id per identical
     text. One shuffle on md5(text) (short key, not the full text)."""
-    keyed = documents.select("doc_id", F.md5("text").alias("h"))
+    return _exact_from_keyed(
+        documents.select("doc_id", F.md5("text").alias("h"))
+    )
+
+
+def _exact_from_keyed(keyed: DataFrame) -> DataFrame:
+    """exact_dedup over a pre-hashed (doc_id, h) frame (staged path)."""
     keep = keyed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     return (
         keyed.join(keep, on="h")
@@ -109,6 +115,20 @@ def minhash_signatures(
     DuckDB parity is not needed. Downstream banding
     (lsh_candidate_pairs) works on either: the band hash
     md5(concat_ws) stringifies longs deterministically."""
+    shingled = documents.select(
+        "doc_id", shingles(F.col("text"), n).alias("_sh")
+    )
+    return minhash_signatures_from_shingles(shingled, num_hashes, hash_fn)
+
+
+def minhash_signatures_from_shingles(
+    shingled: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """minhash_signatures over a PRE-SHINGLED (doc_id, _sh) frame —
+    the staged-corpus path (dedupe_corpus(stage_dir=...)): the
+    tokenize+shingle pass is paid once and reused."""
     if hash_fn == "xxhash64":
         def sig(i):
             return F.array_min(
@@ -124,8 +144,7 @@ def minhash_signatures(
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     return (
-        documents.select("doc_id", shingles(F.col("text"), n).alias("_sh"))
-        .filter(F.size("_sh") > 0)  # ≙ the docs the groupBy form kept
+        shingled.filter(F.size("_sh") > 0)  # ≙ the docs the groupBy form kept
         .select(
             "doc_id", *[sig(i).alias(f"sig_{i}") for i in range(num_hashes)]
         )
@@ -253,15 +272,31 @@ def minhash_dedup(
     threshold: float = 0.5,
     hash_fn: str = "md5",
     max_bucket: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard.
     → (doc_a, doc_b, jaccard). ``hash_fn="xxhash64"`` selects the
     native-integer signature path (see minhash_signatures);
     ``max_bucket`` is the hot-bucket cap applied before the LSH
-    self-join (logged, see _cap_buckets; None = exact)."""
-    sigs = minhash_signatures(documents, num_hashes, n, hash_fn)
+    self-join (logged, see _cap_buckets; None = exact). ``shingled``
+    (a (doc_id, _sh) frame) overrides re-deriving shingles from
+    ``documents`` — the staged-corpus path, see dedupe_corpus."""
+    if shingled is None:
+        shingled = documents.select(
+            "doc_id", shingles(F.col("text"), n).alias("_sh")
+        )
+    sigs = minhash_signatures_from_shingles(shingled, num_hashes, hash_fn)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket=max_bucket)
-    sh = doc_shingles(documents, n)
+    sh = shingled.select("doc_id", F.explode("_sh").alias("shingle"))
+    return _verify_jaccard(cands, sh, threshold)
+
+
+def _verify_jaccard(
+    cands: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against an
+    exploded (doc_id, shingle) frame → (doc_a, doc_b, jaccard ≥
+    threshold)."""
     sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("sz"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
@@ -502,6 +537,7 @@ def dedupe_corpus(
     hash_fn: str = "md5",
     max_bucket: int | None = None,
     algorithm: str = "minlabel",
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """One-call training-corpus dedup: exact + near-dup in a single
     labeled table → (doc_id, keep_id, is_exact_dup, component,
@@ -516,7 +552,37 @@ def dedupe_corpus(
     planet-scale levers: the cap is applied in ``lsh_candidate_pairs``
     before the bucket self-join (logged, never silent), the star
     contraction bounds clustering at O(log n) rounds.
-    """
+
+    ``stage_dir``: the SINGLE-SCAN lever. The default lazy DAG scans
+    ``documents`` and re-runs the tokenize+shingle expression ~4×
+    (exact keying, signatures, both sides of the Jaccard verify) —
+    free at test scale, 3 redundant full-text passes at 100 TB. With
+    ``stage_dir`` set, one pass writes the compact
+    (doc_id, md5(text), shingle-array) table to
+    ``<stage_dir>/dedup_stage.parquet`` (the raw text column is
+    DROPPED) and every downstream stage reads that columnar table
+    instead. Results are identical (pytest-pinned)."""
+    if stage_dir is not None:
+        spark = documents.sparkSession
+        path = f"{stage_dir}/dedup_stage.parquet"
+        documents.select(
+            "doc_id",
+            F.md5("text").alias("_h"),
+            shingles(F.col("text"), n).alias("_sh"),
+        ).write.mode("overwrite").parquet(path)
+        staged = spark.read.parquet(path)
+        exact = _exact_from_keyed(
+            staged.select("doc_id", F.col("_h").alias("h"))
+        ).select("doc_id", "keep_id", F.col("is_dup").alias("is_exact_dup"))
+        verified = minhash_dedup(
+            documents, num_hashes, bands, n, threshold, hash_fn,
+            max_bucket=max_bucket,
+            shingled=staged.select("doc_id", "_sh"),
+        ).select("doc_a", "doc_b")
+        clusters = dedup_clusters_from_pairs(
+            staged.select("doc_id"), verified, algorithm=algorithm
+        )
+        return exact.join(clusters, on="doc_id")
     exact = exact_dedup(documents).select(
         "doc_id", "keep_id", F.col("is_dup").alias("is_exact_dup")
     )

@@ -305,6 +305,31 @@ def test_dedupe_corpus_max_bucket_engages(spark, caplog):
     assert by_id[1001].component == 1000
 
 
+def test_dedupe_corpus_staged_equals_lazy(spark, tmp_path):
+    """stage_dir is the single-scan lever: one pass writes the compact
+    (doc_id, md5, shingles) table (raw text DROPPED) and every stage
+    reads it — results must be IDENTICAL to the lazy DAG, on the real
+    sf0.001 documents."""
+    from osm_wayback_spark.operators.dedup import dedupe_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key = lambda r: r.doc_id  # noqa: E731
+    lazy = sorted(
+        dedupe_corpus(docs, num_hashes=8, threshold=0.3).collect(), key=key
+    )
+    staged = sorted(
+        dedupe_corpus(
+            docs, num_hashes=8, threshold=0.3, stage_dir=str(tmp_path)
+        ).collect(),
+        key=key,
+    )
+    assert lazy == staged
+    # the staged table exists and carries no raw text
+    st = spark.read.parquet(str(tmp_path / "dedup_stage.parquet"))
+    assert set(st.columns) == {"doc_id", "_h", "_sh"}
+    assert st.count() == docs.count()
+
+
 def test_band_buckets_shared_by_batch_and_streaming(docs):
     """ONE banding definition (round-4 advice): lsh_candidate_pairs
     and streaming_near_dup_flags both consume
