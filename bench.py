@@ -544,6 +544,26 @@ def main() -> None:
     # number, not just a pytest equivalence (one 150K-version id)
     timings["skew_history_plain"] = round(skew_job(spark, salted=False), 3)
     timings["skew_history_salted"] = round(skew_job(spark, salted=True), 3)
+    # one-call corpus dedup, lazy vs the single-scan staged lever
+    # (round-5): the lazy DAG re-runs tokenize+shingle ~4x; staging
+    # the (doc_id, md5, shingles) table pays one write and wins even
+    # at bench scale (measured 30.9 -> 18.0 s at sf0.1). Comparative
+    # pair, adjacent in time, single pass each (like the skew pair).
+    import shutil as _sh2
+    import tempfile as _tf2
+
+    from osm_wayback_spark.operators.dedup import dedupe_corpus as _ddc
+
+    t1 = time.time()
+    _ddc(docs, num_hashes=8, threshold=0.3).count()
+    timings["dedupe_corpus_lazy"] = round(time.time() - t1, 3)
+    _stage = _tf2.mkdtemp(prefix="bench_dedup_stage_")
+    try:
+        t1 = time.time()
+        _ddc(docs, num_hashes=8, threshold=0.3, stage_dir=_stage).count()
+        timings["dedupe_corpus_staged"] = round(time.time() - t1, 3)
+    finally:
+        _sh2.rmtree(_stage, ignore_errors=True)
     if os.environ.get("SPARK_GRAFT_BENCH_STAGED", "0") == "1":
         # the resumable production shape (per-stage parquet
         # checkpoints) timed end-to-end from a cold checkpoint dir
