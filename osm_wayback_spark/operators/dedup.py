@@ -220,15 +220,22 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
 
     → (doc_a, doc_b, jaccard) with jaccard ≥ threshold. ``max_df``
     drops shingles appearing in more than that many docs before the
     self-join (quadratic-blowup guard at planet scale); pass None to
-    disable (the oracle-parity configuration).
-    """
-    sh = doc_shingles(documents, n)
+    disable (the oracle-parity configuration). ``shingled`` (a
+    (doc_id, _sh) frame, e.g. the dedupe_corpus stage table)
+    overrides re-deriving shingles from the raw text — this operator
+    otherwise evaluates the tokenize+shingle expression ~4× (df
+    filter, sizes, both self-join sides)."""
+    if shingled is not None:
+        sh = shingled.select("doc_id", F.explode("_sh").alias("shingle"))
+    else:
+        sh = doc_shingles(documents, n)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("df"))
         sh = sh.join(

@@ -330,6 +330,25 @@ def test_dedupe_corpus_staged_equals_lazy(spark, tmp_path):
     assert st.count() == docs.count()
 
 
+def test_jaccard_pairs_staged_shingles_parity(spark, docs):
+    """jaccard_pairs(shingled=...) over a pre-shingled frame must
+    equal the raw-text path (the dedupe_corpus stage table shape)."""
+    from osm_wayback_spark.functions.text import shingles as sh_fn
+
+    shingled = docs.select("doc_id", sh_fn(F.col("text"), 3).alias("_sh"))
+    raw = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(docs, threshold=0.2, max_df=None).collect()
+    }
+    staged = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(
+            docs, threshold=0.2, max_df=None, shingled=shingled
+        ).collect()
+    }
+    assert raw == staged and raw
+
+
 def test_band_buckets_shared_by_batch_and_streaming(docs):
     """ONE banding definition (round-4 advice): lsh_candidate_pairs
     and streaming_near_dup_flags both consume

@@ -100,6 +100,39 @@ def test_stitch_reversal_and_unclosed():
     assert rings == [] and unc == 1
 
 
+def test_relation_geometry_flows_into_mvt_tiles(spark, frames, tmp_path):
+    """End-to-end extension path: assembled relation MultiPolygons
+    feed assign_tiles and the MVT mbtiles sink unchanged — decode a
+    tile back and find the polygon with its hole."""
+    import gzip
+    import sqlite3
+
+    from osm_wayback_spark.functions.mvt import decode_tile
+    from osm_wayback_spark.operators.tiles import assign_tiles
+    from osm_wayback_spark.sources.sinks import write_mbtiles
+
+    members, way_geoms = frames
+    recon = reconstruct_relations(members, way_geoms).filter(
+        "geometry IS NOT NULL"
+    )
+    tiles = assign_tiles(
+        recon, z=9, geometry_col="geometry", payload_cols=("id", "version")
+    )
+    assert tiles.count() > 0
+    path = str(tmp_path / "relations.mbtiles")
+    stats = write_mbtiles(tiles, path, name="relations")
+    assert stats["tiles"] >= 1
+    con = sqlite3.connect(path)
+    blobs = [r[0] for r in con.execute("SELECT tile_data FROM tiles")]
+    con.close()
+    found_poly_with_hole = False
+    for blob in blobs:
+        for f in decode_tile(gzip.decompress(blob))["features"]["features"]:
+            if f["type"] == "POLYGON" and len(f["parts"]) >= 2:
+                found_poly_with_hole = True
+    assert found_poly_with_hole
+
+
 def test_assembly_plan_shape(spark, frames):
     """The as-of join must stay relational (equi-join + window): no
     Python node before the final assembly kernel."""
