@@ -516,6 +516,66 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static near-dup screening as a REAL streaming query:
+    odd doc_ids arrive as the stream (parquet file stream, AvailableNow
+    drain), even doc_ids form the static reference-corpus signature
+    table, and the banded MinHash stream-static equi-join flags each
+    candidate collision (doc_id, corpus_doc_id, band).
+
+    Stream-static joins are stateless and append-safe, and both sides'
+    banding is pure column math (round-4 shuffle-free signatures +
+    the shared ``band_buckets`` helper), so the drained set is
+    deterministic — the DuckDB oracle recomputes BOTH sides' MinHash
+    banding in SQL (same md5 shingle/band math as ``lsh_pairs``) and
+    the streaming operator gets the full hash gate."""
+    from osm_wayback_spark.operators.dedup import minhash_signatures
+    from osm_wayback_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        streaming_near_dup_flags,
+    )
+
+    corpus = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    corpus_sigs = minhash_signatures(corpus, num_hashes=8, n=3)
+    name = f"q_stream_nd_{next(_STREAM_SEQ)}"
+    stream = read_event_stream(spark, _stream_dir(sf_dir, "documents")).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    flags = streaming_near_dup_flags(stream, corpus_sigs, num_hashes=8, bands=4)
+    run_available_now(flags, name, output_mode="append")
+    return spark.table(name).select(
+        "doc_id", "corpus_doc_id", F.col("band").cast("long").alias("band")
+    )
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark`` on the
+    content fingerprint) drained with AvailableNow. WHICH crawl of a
+    duplicated text survives is arrival-order-dependent (micro-batch
+    file/task order — not deterministic across runs), so the
+    hash-gated projection is the operator's deterministic invariant:
+    the set of surviving fingerprints, one row per distinct
+    normalized-text md5. The staged single parquet file drains as ONE
+    micro-batch, so the whole table dedups against empty state; the
+    cross-batch watermark aging path is pinned by pytest
+    (tests/test_streaming.py)."""
+    from osm_wayback_spark.functions.text import fingerprint
+    from osm_wayback_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        streaming_exact_dedup,
+    )
+
+    name = f"q_stream_dd_{next(_STREAM_SEQ)}"
+    stream = read_event_stream(spark, _stream_dir(sf_dir, "documents")).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+    )
+    out = streaming_exact_dedup(stream)
+    run_available_now(out, name, output_mode="append")
+    return spark.table(name).select(fingerprint(F.col("text")).alias("fp"))
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal AS-OF join (operators/relations.member_ways_asof, the
     member-resolution half of the true relation-geometry extension):
@@ -1031,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "streaming_window": q_streaming_window,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_near_dup": q_streaming_near_dup,
+        "streaming_dedup": q_streaming_dedup,
         "knn_exact": q_knn_exact,
         "knn_cells": q_knn_cells,
         "text_stats": q_text_stats,
@@ -1451,6 +1513,32 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(ts)) + 300000000 AS session_end_us,
                    user_id, count(*) AS n_events
             FROM g GROUP BY user_id, sid
+        """,
+        "streaming_near_dup": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({shingles3}) AS shingle
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                    FROM documents)
+            ),
+            sigs AS (
+              SELECT doc_id,
+                {', '.join(f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(8))}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              {' UNION ALL '.join(
+                  f"SELECT doc_id, CAST({b} AS BIGINT) AS band,"
+                  f" md5(sig_{2*b} || '|' || sig_{2*b+1}) AS bh FROM sigs"
+                  for b in range(4))}
+            )
+            SELECT s.doc_id AS doc_id, c.doc_id AS corpus_doc_id, s.band AS band
+            FROM bands s JOIN bands c ON s.band = c.band AND s.bh = c.bh
+            WHERE s.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        """,
+        "streaming_dedup": """
+            SELECT DISTINCT
+              md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
         """,
         "asof_join": """
             WITH wg AS (

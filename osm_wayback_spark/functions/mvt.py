@@ -271,9 +271,17 @@ def encode_tile(
 
         props = dict(feat.get("properties") or {})
         fid = feat.get("id")
-        if fid is not None and not isinstance(fid, bool) and isinstance(fid, int):
-            pass  # numeric id → Feature.id field
+        if (
+            fid is not None
+            and not isinstance(fid, bool)
+            and isinstance(fid, int)
+            and fid >= 0
+        ):
+            pass  # non-negative numeric id → Feature.id (uint64) field
         elif fid is not None:
+            # Feature.id is uint64: negative or non-numeric ids travel
+            # as a property instead (a negative int would not survive
+            # the unsigned varint).
             props["$id"] = fid
             fid = None
 

@@ -65,6 +65,30 @@ def test_point_roundtrip_with_properties_and_id():
     assert f["parts"] == [[project(-77.03, 38.89, z, x, y)]]
 
 
+def test_negative_and_string_ids_demote_to_property():
+    """Feature.id is uint64: a negative int id must NOT hit the
+    unsigned varint (it would never terminate) — it travels as the
+    $id property, same as string ids."""
+    feats = [
+        {
+            "type": "Feature",
+            "id": -5,
+            "geometry": {"type": "Point", "coordinates": [0.0, 0.0]},
+            "properties": {},
+        },
+        {
+            "type": "Feature",
+            "id": "way/12",
+            "geometry": {"type": "Point", "coordinates": [1.0, 1.0]},
+            "properties": {},
+        },
+    ]
+    layers = decode_tile(encode_tile(feats, 1, 1, 0))
+    f_neg, f_str = layers["features"]["features"]
+    assert f_neg["id"] is None and f_neg["properties"]["$id"] == -5
+    assert f_str["id"] is None and f_str["properties"]["$id"] == "way/12"
+
+
 def test_linestring_and_polygon_winding():
     line = {
         "type": "Feature",
