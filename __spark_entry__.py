@@ -762,6 +762,68 @@ def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021
+    §A1.1) per document: top-word fraction, duplicate 2-gram and
+    3-gram fractions, plus the filter verdict at the paper's flavor
+    of thresholds. Pure per-row HOF column math (zero shuffle, zero
+    UDF) — the canonical webtext repetition filter a training
+    pipeline runs between dedup and tokenization."""
+    from osm_wayback_spark.functions.text import (
+        dup_ngram_ratio,
+        top_ngram_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        top_ngram_ratio(F.col("text"), 1).alias("top_word_ratio"),
+        dup_ngram_ratio(F.col("text"), 2).alias("dup_2gram_ratio"),
+        dup_ngram_ratio(F.col("text"), 3).alias("dup_3gram_ratio"),
+    )
+    return scored.withColumn(
+        "passes_repetition",
+        (F.col("top_word_ratio") <= 0.2)
+        & (F.col("dup_2gram_ratio") <= 0.6)
+        & (F.col("dup_3gram_ratio") <= 0.5),
+    )
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-domain accounting: build each document's URL
+    deterministically from its source, extract the host with Spark's
+    JVM-native ``parse_url`` (no UDF), and aggregate per-domain doc /
+    char / language counts — the per-domain budget report a crawl
+    pipeline runs before sampling. The DuckDB oracle mirrors the host
+    extraction with a regexp over the same constructed URL, so the
+    extraction semantics (not just the group keys) are checked."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        "lang",
+        "n_chars",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id"),
+            F.lit("?ref=crawl"),
+        ).alias("url"),
+    )
+    return (
+        u.select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) over
     deterministic LSH candidates — the scale shape: the only self-join
@@ -1100,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_corpus": q_dedupe_corpus,
         "corpus_filter": q_corpus_filter,
         "token_stats_bpe": q_token_stats_bpe,
+        "repetition_stats": q_repetition_stats,
+        "url_stats": q_url_stats,
         "embedding_near_dup": q_embedding_near_dup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1641,6 +1705,53 @@ def oracle_sql() -> dict[str, str]:
                    min(md5('2:' || shingle)) AS sig_2,
                    min(md5('3:' || shingle)) AS sig_3
             FROM sh GROUP BY doc_id
+        """,
+        "repetition_stats": r"""
+            SELECT doc_id, top_word_ratio, dup_2gram_ratio, dup_3gram_ratio,
+                   (top_word_ratio <= 0.2 AND dup_2gram_ratio <= 0.6
+                    AND dup_3gram_ratio <= 0.5) AS passes_repetition
+            FROM (
+              SELECT doc_id,
+                CASE WHEN len(w1) = 0 THEN 0.0
+                     ELSE round(list_max(list_transform(list_distinct(w1),
+                            x -> len(list_filter(w1, y -> y = x)))) / len(w1), 6)
+                END AS top_word_ratio,
+                CASE WHEN len(g2) = 0 THEN 0.0
+                     ELSE round(1.0 - len(list_distinct(g2)) / len(g2), 6)
+                END AS dup_2gram_ratio,
+                CASE WHEN len(g3) = 0 THEN 0.0
+                     ELSE round(1.0 - len(list_distinct(g3)) / len(g3), 6)
+                END AS dup_3gram_ratio
+              FROM (
+                SELECT doc_id,
+                  CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE words END AS w1,
+                  CASE WHEN len(words) >= 2
+                       THEN list_transform(generate_series(1, len(words) - 1),
+                              i -> array_to_string(words[i:i+1], ' '))
+                       ELSE CAST([] AS VARCHAR[]) END AS g2,
+                  CASE WHEN len(words) >= 3
+                       THEN list_transform(generate_series(1, len(words) - 2),
+                              i -> array_to_string(words[i:i+2], ' '))
+                       ELSE CAST([] AS VARCHAR[]) END AS g3
+                FROM (SELECT doc_id, trim(text) AS t,
+                        regexp_split_to_array(trim(text), '\s+') AS words
+                      FROM documents)
+              )
+            )
+        """,
+        "url_stats": r"""
+            WITH u AS (
+              SELECT lang, n_chars,
+                     'https://' || source || '.example.com/docs/' || doc_id
+                       || '?ref=crawl' AS url
+              FROM documents
+            )
+            SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM u GROUP BY 1
         """,
         "token_stats_bpe": r"""
             SELECT doc_id,

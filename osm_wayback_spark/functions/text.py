@@ -82,6 +82,66 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
+def ngrams(text: Column, n: int) -> Column:
+    """NON-distinct word n-grams (repetition analysis needs the
+    multiset; ``shingles`` dedups). Empty when the text has fewer
+    than n words — CASE evaluates only the taken branch, so the
+    slice never sees a negative length."""
+    if n == 1:
+        return F.when(
+            F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+        ).otherwise(words(text))
+    w = words(text)
+    m = F.size(w) - (n - 1)
+    acc = F.slice(w, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(w, k, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(w) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _top_ratio(arr: Column) -> Column:
+    """max multiplicity of any element / array size (0.0 when empty).
+    Pure per-row HOF math — O(distinct × n) per row, zero shuffle;
+    documents are row-sized so this beats an explode+groupBy at any
+    corpus scale."""
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(arr),
+            lambda x: F.size(F.filter(arr, lambda y: y == x)),
+        )
+    )
+    return F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
+        F.round(top / F.size(arr), 6)
+    )
+
+
+def _dup_ratio(arr: Column) -> Column:
+    """fraction of elements that are repeats of an earlier element
+    (1 - distinct/total; 0.0 when empty)."""
+    return F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(arr)) / F.size(arr), 6)
+    )
+
+
+def top_ngram_ratio(text: Column, n: int) -> Column:
+    """Gopher-style repetition signal: fraction of the text's word
+    n-grams taken up by the single most frequent n-gram (Rae et al.
+    2021 §A1.1 'top n-gram fraction'). High values flag boilerplate
+    and keyword-stuffed pages."""
+    return _top_ratio(ngrams(text, n))
+
+
+def dup_ngram_ratio(text: Column, n: int) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that
+    are duplicates of an earlier occurrence ('duplicate n-gram
+    fraction'). High values flag templated / looping text."""
+    return _dup_ratio(ngrams(text, n))
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles.
 

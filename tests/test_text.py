@@ -80,6 +80,43 @@ def test_token_count_bpe(spark):
     assert got[3] == 0
 
 
+def test_repetition_ratios(spark):
+    """Gopher-style repetition signals: exact values on crafted
+    texts, 0.0 conventions on empty/short inputs."""
+    from osm_wayback_spark.functions.text import (
+        dup_ngram_ratio,
+        ngrams,
+        top_ngram_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam eggs"),   # top word 3/4; bigrams: [s s, s s, s e] → dup 1/3
+            (2, "all words differ here"),  # no repetition
+            (3, ""),                       # empty → 0.0 everywhere
+            (4, "solo"),                   # 1 word: no bigrams → 0.0
+            (5, "a b a b a b a"),          # heavy bigram looping
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            top_ngram_ratio(F.col("text"), 1).alias("tw"),
+            dup_ngram_ratio(F.col("text"), 2).alias("d2"),
+            F.size(ngrams(F.col("text"), 2)).alias("n2"),
+        ).collect()
+    }
+    assert out[1].tw == 0.75 and out[1].d2 == round(1 - 2 / 3, 6)
+    assert out[2].tw == 0.25 and out[2].d2 == 0.0
+    assert out[3].tw == 0.0 and out[3].d2 == 0.0 and out[3].n2 == 0
+    assert out[4].tw == 1.0 and out[4].d2 == 0.0 and out[4].n2 == 0
+    # "a b a b a b a": 6 bigrams, 2 distinct → dup 4/6; top word 4/7
+    assert out[5].d2 == round(1 - 2 / 6, 6)
+    assert out[5].tw == round(4 / 7, 6)
+
+
 def test_shingles_sliding_equals_index_form(spark):
     """The zip_with sliding-window shingles must equal the reference
     index formulation (transform over sequence + per-element slice)
