@@ -612,6 +612,106 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member_ways_asof(members, way_geoms)
 
 
+def q_relation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True relation-geometry RING ASSEMBLY under the hash gate (the
+    member-resolution half is `asof_join`; this exercises the
+    stitcher, operators/relations.assemble_relation_geometries).
+
+    Synthesis: per (relation, version) two hexagonal rings, each
+    split into 3 open arcs sharing single endpoints (every endpoint
+    degree 2, so the ring decomposition is mathematically unique —
+    algorithm-independent). The REAL kernel stitches arcs into
+    MultiPolygons; the query then projects each geometry to its
+    canonical form — per-ring sorted vertex list, rings sorted — so
+    the hash compares ring MEMBERSHIP + CLOSURE + vertex content.
+    The DuckDB oracle re-derives ring membership independently:
+    recursive-CTE connected components over the arcs-share-an-
+    endpoint graph (the same CC pattern as dedup_clusters), then the
+    identical canonicalization. Integer vertex coordinates keep the
+    string forms byte-identical across engines."""
+    from osm_wayback_spark.operators.relations import reconstruct_relations
+
+    ev = _t(spark, sf_dir, "events")
+    rels = ev.select((F.col("user_id") % 37).alias("rid")).distinct()
+    rv = rels.select(
+        "rid", F.explode(F.array(*[F.lit(i) for i in (1, 2, 3)])).alias("v")
+    )
+    arcs = rv.select(
+        "rid", "v", F.explode(F.array(*[F.lit(i) for i in range(6)])).alias("m")
+    )
+    k = F.floor(F.col("m") / 3).cast("int")  # ring 0|1
+    j = (F.col("m") % 3).cast("int")  # arc within ring
+    xoff = F.array(*[F.lit(o) for o in (0, 1, 2, 2, 1, 0)])
+    yoff = F.array(*[F.lit(o) for o in (0, 0, 1, 2, 3, 2)])
+
+    def px(i):
+        return (k * 100 + F.element_at(xoff, i + 1)).cast("long")
+
+    def py(i):
+        return (
+            F.col("rid") * 1000 + F.col("v") * 10 + F.element_at(yoff, i + 1)
+        ).cast("long")
+
+    s, mid, e = j * 2, j * 2 + 1, (j * 2 + 2) % 6
+    arcs = arcs.select(
+        "rid",
+        "v",
+        "m",
+        (F.col("rid") * 1000 + F.col("v") * 100 + F.col("m")).alias("way_id"),
+        F.format_string(
+            "[[%d,%d],[%d,%d],[%d,%d]]",
+            px(s), py(s), px(mid), py(mid), px(e), py(e),
+        ).alias("coords_json"),
+    )
+    members = arcs.select(
+        F.col("rid").alias("id"),
+        F.col("v").alias("version"),
+        F.col("v").cast("long").alias("ts"),
+        F.col("m").alias("member_idx"),
+        F.col("way_id").alias("member_ref"),
+        F.lit("outer").alias("member_role"),
+    )
+    way_geoms = arcs.select(
+        "way_id",
+        F.lit(0).cast("long").alias("valid_since"),
+        F.lit(None).cast("long").alias("valid_until"),
+        "coords_json",
+    )
+    out = reconstruct_relations(members, way_geoms)
+
+    gm = F.from_json(
+        "geometry",
+        "struct<type:string,coordinates:array<array<array<array<bigint>>>>>",
+    )
+
+    def ring_sig(poly):
+        ring = F.element_at(poly, 1)
+        verts = F.slice(ring, 1, F.size(ring) - 1)  # drop closing repeat
+        pts = F.transform(
+            verts,
+            lambda p: F.concat_ws(
+                ",",
+                F.element_at(p, 1).cast("string"),
+                F.element_at(p, 2).cast("string"),
+            ),
+        )
+        return F.array_join(F.array_sort(pts), ";")
+
+    coords = gm["coordinates"]
+    return out.select(
+        "id",
+        "version",
+        "ts",
+        F.size(coords).cast("long").alias("n_rings"),
+        F.array_join(
+            F.array_sort(F.transform(coords, ring_sig)), "|"
+        ).alias("rings_sig"),
+        "n_members",
+        "n_resolved",
+        "n_unclosed",
+    )
+
+
 def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 — vector → raster: every res-7 cell whose CENTER lies inside
     a nation rectangle (center-sampling rasterization). Oracle: DuckDB
@@ -1151,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "rasterize": q_rasterize,
         "asof_join": q_asof_join,
+        "relation_assembly": q_relation_assembly,
         "streaming_window": q_streaming_window,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_near_dup": q_streaming_near_dup,
@@ -1577,6 +1678,66 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(ts)) + 300000000 AS session_end_us,
                    user_id, count(*) AS n_events
             FROM g GROUP BY user_id, sid
+        """,
+        "relation_assembly": """
+            WITH RECURSIVE rels AS (
+              SELECT DISTINCT user_id % 37 AS rid FROM events
+            ),
+            vs AS (SELECT unnest([1, 2, 3]) AS v),
+            ms AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS m),
+            arcs AS (
+              SELECT rid, v, m,
+                     rid * 1000 + v * 100 + m AS way_id,
+                     m // 3 AS k, m % 3 AS j
+              FROM rels, vs, ms
+            ),
+            pts AS (
+              SELECT rid, v, way_id, k, j,
+                     unnest([j * 2, j * 2 + 1, (j * 2 + 2) % 6]) AS i
+              FROM arcs
+            ),
+            coords AS (
+              SELECT rid, v, way_id, i,
+                     k * 100 + list_extract([0, 1, 2, 2, 1, 0], i + 1) AS x,
+                     rid * 1000 + v * 10
+                       + list_extract([0, 0, 1, 2, 3, 2], i + 1) AS y,
+                     (i = j * 2 OR i = (j * 2 + 2) % 6) AS is_end
+              FROM pts
+            ),
+            edges AS (
+              SELECT a.rid, a.v, a.way_id AS wa, b.way_id AS wb
+              FROM coords a JOIN coords b
+                ON a.rid = b.rid AND a.v = b.v AND a.x = b.x AND a.y = b.y
+               AND a.way_id <> b.way_id AND a.is_end AND b.is_end
+            ),
+            rr(rid, v, node, lab) AS (
+              SELECT rid, v, way_id, way_id FROM arcs
+              UNION
+              SELECT e.rid, e.v, e.wa, rr.lab
+              FROM edges e
+              JOIN rr ON e.rid = rr.rid AND e.v = rr.v AND e.wb = rr.node
+            ),
+            comp AS (
+              SELECT rid, v, node, min(lab) AS comp FROM rr GROUP BY 1, 2, 3
+            ),
+            ringsigs AS (
+              SELECT c.rid, c.v, p.comp,
+                     array_to_string(
+                       list_sort(list_distinct(list(c.x || ',' || c.y))), ';'
+                     ) AS sig
+              FROM coords c
+              JOIN comp p
+                ON p.rid = c.rid AND p.v = c.v AND p.node = c.way_id
+              GROUP BY 1, 2, 3
+            )
+            SELECT rid AS id, CAST(v AS INTEGER) AS version,
+                   CAST(v AS BIGINT) AS ts,
+                   CAST(count(*) AS BIGINT) AS n_rings,
+                   array_to_string(list_sort(list(sig)), '|') AS rings_sig,
+                   CAST(6 AS INTEGER) AS n_members,
+                   CAST(6 AS INTEGER) AS n_resolved,
+                   CAST(0 AS INTEGER) AS n_unclosed
+            FROM ringsigs GROUP BY rid, v
         """,
         "streaming_near_dup": f"""
             WITH sh AS (
