@@ -924,6 +924,37 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/corpus): rebalance
+    the language mix by keeping a per-stratum percentage decided by a
+    hash of the doc id — zero shuffle, no count-first pass,
+    reproducible across engines (the oracle computes the identical
+    md5-prefix bucket)."""
+    from osm_wayback_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, rates={"en": 40, "zh": 70}, default_rate=90)
+    return out.select("doc_id", "lang")
+
+
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential token packing (operators/corpus): within
+    each language, in deterministic doc order, documents land in the
+    chunk where their cumulative token count starts; output is the
+    per-chunk fill report. One window + one groupBy — both shuffle
+    on the same stratum key."""
+    from osm_wayback_spark.functions.text import token_count
+    from osm_wayback_spark.operators.corpus import pack_summary, pack_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return pack_summary(pack_tokens(scored, budget=512))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) over
     deterministic LSH candidates — the scale shape: the only self-join
@@ -1265,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_bpe": q_token_stats_bpe,
         "repetition_stats": q_repetition_stats,
         "url_stats": q_url_stats,
+        "corpus_sample": q_corpus_sample,
+        "token_packing": q_token_packing,
         "embedding_near_dup": q_embedding_near_dup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1900,6 +1933,33 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
               )
             )
+        """,
+        "corpus_sample": r"""
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 100
+                  < CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 70 ELSE 90 END
+        """,
+        "token_packing": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            p AS (
+              SELECT lang, n_tokens,
+                     (sum(n_tokens) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 512
+                       AS chunk_id
+              FROM t
+            )
+            SELECT lang, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+            FROM p GROUP BY 1, 2
         """,
         "url_stats": r"""
             WITH u AS (

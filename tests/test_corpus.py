@@ -1,0 +1,84 @@
+"""Corpus curation operators: stratified sampling + token packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_wayback_spark.operators.corpus import (
+    pack_summary,
+    pack_tokens,
+    sample_bucket,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, ["en", "de", "zh"][i % 3], (i * 7) % 40 + 1) for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+
+def test_sample_bucket_deterministic_and_partition_independent(spark, docs):
+    a = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id", sample_bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.b
+        for r in docs.repartition(13)
+        .select("doc_id", sample_bucket(F.col("doc_id")).alias("b"))
+        .collect()
+    }
+    assert a == b
+    assert all(0 <= v < 100 for v in a.values())
+    # buckets actually spread (not constant)
+    assert len(set(a.values())) > 50
+
+
+def test_stratified_sample_rates(docs):
+    kept = stratified_sample(docs, rates={"en": 0}, default_rate=100)
+    langs = {r.lang for r in kept.select("lang").distinct().collect()}
+    assert "en" not in langs and {"de", "zh"} <= langs
+    # rate 100 keeps everything in the other strata
+    assert kept.count() == docs.filter(F.col("lang") != "en").count()
+    # a middling rate keeps a strict, deterministic subset
+    half = stratified_sample(docs, rates={"en": 50}, default_rate=100)
+    n_en = half.filter(F.col("lang") == "en").count()
+    assert 0 < n_en < docs.filter(F.col("lang") == "en").count()
+    assert half.count() == stratified_sample(
+        docs.repartition(7), rates={"en": 50}, default_rate=100
+    ).count()
+
+
+def test_pack_tokens_greedy_semantics(spark):
+    rows = [(i, "en", t) for i, t in enumerate([60, 60, 60, 60, 60])]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    got = {
+        r.doc_id: r.chunk_id for r in pack_tokens(df, budget=100).collect()
+    }
+    # cum-before: 0,60,120,180,240 → chunks 0,0,1,1,2
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_pack_chunks_bounded_overflow(docs):
+    budget = 100
+    packed = pack_tokens(docs, budget=budget)
+    summary = pack_summary(packed).collect()
+    max_tok = max(r.n_tokens for r in docs.collect())
+    for r in summary:
+        # a chunk holds < budget before its last doc starts, so it
+        # can exceed budget by at most one document's tokens
+        assert r.chunk_tokens < budget + max_tok
+    # chunk ids are contiguous from 0 per stratum
+    by_lang = {}
+    for r in summary:
+        by_lang.setdefault(r.lang, set()).add(r.chunk_id)
+    for ids in by_lang.values():
+        assert ids == set(range(len(ids)))
+    # token conservation
+    assert sum(r.chunk_tokens for r in summary) == sum(
+        r.n_tokens for r in docs.collect()
+    )
