@@ -518,6 +518,11 @@ def main() -> None:
         # round-5 operators: zonal raster agg + temporal as-of join
         "zonal_stats",
         "asof_join",
+        # round-5 webtext curation: Gopher repetition HOF math, ring
+        # stitcher kernel, token-budget packing window
+        "repetition_stats",
+        "relation_assembly",
+        "token_packing",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -163,6 +163,34 @@ def main() -> None:
         ],
     )
 
+    add(
+        "repetition_stats (webtext quality): per-row HOF math, zero shuffle",
+        e.q_repetition_stats(spark, SF),
+        [
+            "top/dup n-gram fractions are transform/filter/array_distinct "
+            "HOFs evaluated per row — NO Exchange in the whole plan, no "
+            "Python; scales embarrassingly with the scan",
+        ],
+    )
+    add(
+        "corpus_sample (stratified sampling): hash-bucket filter, zero shuffle",
+        e.q_corpus_sample(spark, SF),
+        [
+            "keep/drop is md5-prefix column math in the scan's filter — "
+            "no count-first pass, no Exchange; deterministic under any "
+            "partitioning",
+        ],
+    )
+    add(
+        "token_packing (chunk assembly): ONE Exchange on the stratum key",
+        e.q_token_packing(spark, SF),
+        [
+            "the cumulative-sum window and the per-chunk fill groupBy "
+            "both key on (lang) / (lang, chunk_id) — one shuffle on the "
+            "stratum, partial aggregation map-side for the report",
+        ],
+    )
+
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write(
             "# Physical-plan audit (generated by tools/explain_audit.py)\n\n"
