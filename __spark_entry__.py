@@ -955,6 +955,55 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_summary(pack_tokens(scored, budget=512))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.redact_pii): the corpus text is
+    synthetic and clean, so deterministic PII (an email, a phone, an
+    IPv4 per doc) is planted first; the query counts each kind and
+    fingerprints the scrubbed text. Patterns live in the Java-regex /
+    RE2 common subset, so the DuckDB oracle applies the SAME patterns
+    and must produce the identical redacted-text md5 — the regex
+    semantics themselves are hash-gated."""
+    from osm_wayback_spark.functions.text import pii_count, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@mail.example.com or 555-01"),
+            (F.col("doc_id") % 10),
+            F.lit(".1234 at 10.0."),
+            (F.col("doc_id") % 256),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        pii_count(F.col("text"), "email").alias("n_emails"),
+        pii_count(F.col("text"), "phone").alias("n_phones"),
+        pii_count(F.col("text"), "ip").alias("n_ips"),
+        F.md5(redact_pii(F.col("text"))).alias("clean_fp"),
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/corpus
+    .contamination_screen): every 97th document plays the held-out
+    eval set; training documents sharing any distinct word 5-gram
+    with it are flagged with overlap counts. The only join is an
+    equi-join on the n-gram. (n=4 on this corpus: a handful of real
+    collisions; n=5 is near-empty, n=3 flags a third of the corpus —
+    the production default stays 5, see contamination_screen.)"""
+    from osm_wayback_spark.operators.corpus import contamination_screen
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_screen(train, ev, n=4)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) over
     deterministic LSH candidates — the scale shape: the only self-join
@@ -1298,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "corpus_sample": q_corpus_sample,
         "token_packing": q_token_packing,
+        "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
         "embedding_near_dup": q_embedding_near_dup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1934,6 +1985,49 @@ def oracle_sql() -> dict[str, str]:
               )
             )
         """,
+        "pii_scrub": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id
+                          || '@mail.example.com or 555-01' || (doc_id % 10)
+                          || '.1234 at 10.0.' || (doc_id % 256) || '.7'
+                       AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[\w.+-]+@[\w-]+\.[\w.-]+', 0)) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text,
+                '\b\d{3}[-.]\d{3}[-.]\d{4}\b', 0)) AS BIGINT) AS n_phones,
+              CAST(len(regexp_extract_all(text,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS BIGINT)
+                AS n_ips,
+              md5(regexp_replace(regexp_replace(regexp_replace(text,
+                    '[\w.+-]+@[\w-]+\.[\w.-]+', '<EMAIL>', 'g'),
+                    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+                AS clean_fp
+            FROM planted
+        """,
+        "contamination": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({{shingles5}}) AS g
+              FROM (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\\s+') AS words
+                    FROM documents)
+            )
+            SELECT t.doc_id,
+                   CAST(count(DISTINCT t.g) AS BIGINT) AS n_hits,
+                   CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+            FROM sh t JOIN sh e ON t.g = e.g
+            WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+            GROUP BY t.doc_id
+        """.replace("{shingles5}", """
+            list_distinct(CASE WHEN len(words) >= 4
+              THEN list_transform(generate_series(1, len(words) - 3),
+                                  i -> array_to_string(words[i:i+3], ' '))
+              ELSE [array_to_string(words, ' ')] END)
+        """),
         "corpus_sample": r"""
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

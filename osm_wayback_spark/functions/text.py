@@ -155,6 +155,34 @@ def dup_ngram_ratio(text: Column, n: int) -> Column:
     return _dup_ratio(ngrams(text, n))
 
 
+# PII patterns kept to the Java-regex / RE2 common subset (no
+# lookaround, no backreferences) so the DuckDB oracle applies the
+# SAME patterns byte-identically.
+PII_PATTERNS = {
+    "email": r"[\w.+-]+@[\w-]+\.[\w.-]+",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern kind ('email'|'phone'|'ip')."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0)
+    ).cast("long")
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, phone numbers and IPv4 addresses with typed
+    placeholders — the scrub step a training pipeline runs before
+    tokenization. Order matters: emails first (an email must not be
+    half-eaten by the IP pattern's digit runs)."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles.
 

@@ -84,6 +84,47 @@ def pack_tokens(
     )
 
 
+def contamination_screen(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an evaluation set → (doc_id, n_hits = distinct
+    overlapping n-grams, n_eval_docs = distinct eval docs hit).
+
+    Scale shape: the ONLY join is an equi-join on the n-gram string
+    (shuffle keyed on the n-gram); the eval side is tiny in practice
+    and broadcastable. Long n-grams (default 5) keep the collision
+    rate — and the hot-key risk — down; the exploded train side is
+    distinct-per-doc so a looping document contributes each n-gram
+    once. A production variant hashes the n-grams to int64 first
+    (same shape, smaller shuffle) — kept as the string form here so
+    the oracle can mirror it verbatim."""
+    from ..functions.text import shingles
+
+    t = train_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    # shingles() is distinct-per-doc by construction, so both
+    # exploded sides are already (id, g)-unique — no dedup shuffle
+    ev = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        t.join(ev, on="g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_hits"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def pack_summary(
     packed: DataFrame,
     token_col: str = "n_tokens",

@@ -82,3 +82,32 @@ def test_pack_chunks_bounded_overflow(docs):
     assert sum(r.chunk_tokens for r in summary) == sum(
         r.n_tokens for r in docs.collect()
     )
+
+
+def test_contamination_screen(spark):
+    from osm_wayback_spark.operators.corpus import contamination_screen
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            # shares the 5-gram "quick brown fox jumps over" with eval 100
+            (3, "a quick brown fox jumps over fences daily"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over a fence"),
+            (101, "completely unrelated evaluation prompt here today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_hits, r.n_eval_docs)
+           for r in contamination_screen(train, ev, n=5).collect()}
+    # doc 1 shares two 5-grams ("the quick brown fox jumps",
+    # "quick brown fox jumps over"); doc 3 shares one; 2 and 4 clean
+    assert got == {1: (2, 1), 3: (1, 1)}
+    # n larger than every doc: degenerate whole-doc shingle, no overlap
+    assert contamination_screen(train, ev, n=50).count() == 0

@@ -152,3 +152,41 @@ def test_shingles_sliding_equals_index_form(spark):
         ).collect()
         for r in out:
             assert r.a == r.b, (n, r)
+
+
+def test_pii_count_and_redact(spark):
+    from pyspark.sql import functions as F
+
+    from osm_wayback_spark.functions.text import pii_count, redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.co.uk now"),
+            (2, "call 555-123.4567 or 555.111-2222"),
+            (3, "host 10.0.255.7 and 192.168.1.1"),
+            (4, "clean text with digits 12345 and at@ sign alone"),
+            # the email's host must not be half-eaten as an IP
+            (5, "user@10.0.0.1 logged in from 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            pii_count(F.col("text"), "email").alias("e"),
+            pii_count(F.col("text"), "phone").alias("p"),
+            pii_count(F.col("text"), "ip").alias("i"),
+            redact_pii(F.col("text")).alias("t"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].p, out[1].i) == (1, 0, 0)
+    assert out[1].t == "mail <EMAIL> now"
+    assert (out[2].e, out[2].p, out[2].i) == (0, 2, 0)
+    assert out[2].t == "call <PHONE> or <PHONE>"
+    assert (out[3].e, out[3].p, out[3].i) == (0, 0, 2)
+    assert out[3].t == "host <IP> and <IP>"
+    assert (out[4].e, out[4].p, out[4].i) == (0, 0, 0)
+    assert out[4].t == docs.filter("doc_id=4").first().text
+    # email-first ordering: user@10.0.0.1 is ONE email, not an IP
+    assert out[5].t == "<EMAIL> logged in from <IP>"
