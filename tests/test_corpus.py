@@ -111,3 +111,38 @@ def test_contamination_screen(spark):
     assert got == {1: (2, 1), 3: (1, 1)}
     # n larger than every doc: degenerate whole-doc shingle, no overlap
     assert contamination_screen(train, ev, n=50).count() == 0
+
+
+def test_contamination_screen_hashed_parity_and_broadcast_plan(spark):
+    """hashed=True must give identical results (64-bit collisions are
+    negligible), and broadcast_eval=True must plan a broadcast join —
+    the no-shuffle probe shape a billion-doc train side needs."""
+    import io
+    from contextlib import redirect_stdout
+
+    from osm_wayback_spark.operators.corpus import contamination_screen
+
+    train = spark.createDataFrame(
+        [(i, f"w{i % 7} a b c d e f g w{i % 5} tail{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1000, "a b c d e f"), (1001, "c d e f g h")],
+        "doc_id long, text string",
+    )
+
+    def rows(**kw):
+        return sorted(
+            tuple(r) for r in contamination_screen(train, ev, n=5, **kw).collect()
+        )
+
+    base = rows()
+    assert base, "expected overlaps in the engineered corpus"
+    assert rows(hashed=True) == base
+    assert rows(broadcast_eval=False) == base
+    assert rows(hashed=True, broadcast_eval=False) == base
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        contamination_screen(train, ev, n=5).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()

@@ -182,6 +182,27 @@ def main() -> None:
         ],
     )
     add(
+        "pii_scrub (redaction): regexp column math, zero shuffle",
+        e.q_pii_scrub(spark, SF),
+        [
+            "counts and redaction are regexp_extract_all/regexp_replace "
+            "JVM expressions per row — NO Exchange, no Python; the scrub "
+            "rides the scan like any projection",
+        ],
+    )
+    add(
+        "contamination (decontamination screen): broadcast eval probe",
+        e.q_contamination(spark, SF),
+        [
+            "the exploded eval side is broadcast (eval sets are tiny vs "
+            "a training corpus), so the billion-row exploded train side "
+            "is probed map-side with NO join shuffle — the only Exchange "
+            "is the final groupBy on doc_id",
+            "hashed=True swaps the join key for xxhash64(n-gram): same "
+            "output, 8-byte fixed-width broadcast key",
+        ],
+    )
+    add(
         "token_packing (chunk assembly): ONE Exchange on the stratum key",
         e.q_token_packing(spark, SF),
         [
