@@ -862,6 +862,55 @@ def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen output of train_bpe(documents @ sf0.001, num_merges=40) —
+# reproducible (deterministic tie-break) but embedded as a literal so
+# the DuckDB oracle can apply the IDENTICAL merge list. Training
+# itself is an iterative algorithm (not SQL-expressible) and is
+# pytest-gated against an independent pure-Python trainer
+# (tests/test_bpe.py); encoding — the per-row hot path — is
+# hash-gated here.
+BPE_MERGES = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("s", "ort"), ("par", "t"), ("u", "p"), ("a", "g"), ("ag", "g"),
+    ("a", "lu"), ("alu", "e"), ("v", "alue"), ("in", "e"),
+    ("l", "ine"), ("e", "y"), ("k", "ey"), ("j", "o"), ("jo", "in"),
+    ("g", "e"), ("mer", "ge"), ("er", "y"),
+]
+
+
+# rendered once for the oracle as a flat SQL list literal of
+# 'pattern<TAB>replacement' strings (DuckDB lambdas cannot contain
+# subqueries, so the list is inlined, not CTE-referenced)
+_BPE_MERGES_SQL = "[" + ", ".join(
+    f"chr(31)||'{l}'||chr(31)||chr(31)||'{r}'||chr(31)"
+    f"||chr(9)||chr(31)||'{l + r}'||chr(31)"
+    for l, r in BPE_MERGES
+) + "]"
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (functions/bpe.encode_bpe) under the
+    hash gate: every document is encoded with the frozen 40-merge
+    vocabulary and fingerprinted token-by-token, so the whole encode
+    path — char wrapping, the separator replace-fold, rank order —
+    must agree with DuckDB's independent list_reduce mirror
+    byte-for-byte. Zero shuffle, zero Python: the fold is one JVM
+    `aggregate` expression riding the scan."""
+    from osm_wayback_spark.functions.bpe import bpe_token_count, encode_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = encode_bpe(F.col("text"), BPE_MERGES)
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text"), BPE_MERGES).alias("n_tokens_bpe"),
+        F.md5(F.concat_ws(" ", toks)).alias("toks_fp"),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021
     §A1.1) per document: top-word fraction, duplicate 2-gram and
@@ -1343,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_corpus": q_dedupe_corpus,
         "corpus_filter": q_corpus_filter,
         "token_stats_bpe": q_token_stats_bpe,
+        "bpe_encode": q_bpe_encode,
         "repetition_stats": q_repetition_stats,
         "url_stats": q_url_stats,
         "corpus_sample": q_corpus_sample,
@@ -2073,6 +2123,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '(\w+|[^\w\s])', 0)) AS BIGINT)
                      AS n_bpe_tokens
             FROM documents
+        """,
+        "bpe_encode": f"""
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(
+                  string_split_regex(trim(replace(text, chr(31), '')),
+                                     '\\s+'),
+                  x -> x <> '') AS ws
+              FROM documents
+            ),
+            enc AS (
+              SELECT doc_id,
+                flatten(list_transform(ws, w ->
+                  string_split(
+                    trim(
+                      list_reduce(
+                        list_prepend(
+                          chr(31) || array_to_string(
+                            string_split(w, ''), chr(31) || chr(31))
+                          || chr(31),
+                          {_BPE_MERGES_SQL}),
+                        (acc, mm) -> replace(acc,
+                          split_part(mm, chr(9), 1),
+                          split_part(mm, chr(9), 2))),
+                      chr(31)),
+                    chr(31) || chr(31)))) AS toks
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens_bpe,
+                   md5(array_to_string(toks, ' ')) AS toks_fp
+            FROM enc
         """,
         "embedding_near_dup": f"""
             WITH cand AS (

@@ -523,6 +523,9 @@ def main() -> None:
         "repetition_stats",
         "relation_assembly",
         "token_packing",
+        # round-5: trained-BPE tokenization (40-merge aggregate fold
+        # riding the scan) — the token-accounting hot path
+        "bpe_encode",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -182,6 +182,16 @@ def main() -> None:
         ],
     )
     add(
+        "bpe_encode (trained tokenizer): aggregate-fold column math, "
+        "zero shuffle",
+        e.q_bpe_encode(spark, SF),
+        [
+            "the 40-merge fold is ONE JVM aggregate expression per word "
+            "(one replace per merge at runtime) — NO Exchange, no Python; "
+            "tokenization rides the scan like a projection",
+        ],
+    )
+    add(
         "pii_scrub (redaction): regexp column math, zero shuffle",
         e.q_pii_scrub(spark, SF),
         [
