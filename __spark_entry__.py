@@ -882,6 +882,41 @@ BPE_MERGES = [
 ]
 
 
+# Frozen output of train_logreg on the sf0.001 documents, label =
+# the corpus_filter quality gate (quality_score >= 0.3) — the
+# distillation target a production pipeline uses (learn the
+# expensive gate, apply the cheap linear scorer). 0.99 train
+# accuracy vs a 0.948 majority baseline. Training (iterative GD,
+# one Spark aggregation per step) is pytest-gated against an
+# independent numpy implementation (tests/test_classifier.py);
+# scoring with these frozen weights is pure column math, hash-gated
+# below. Order: [bias, f_len, f_stop, f_punct, f_wlen, f_digit].
+QUALITY_LR_WEIGHTS = [
+    -15.768520742952, 22.158186020951, 28.861193160611, 0.0,
+    2.418786669526, 0.0,
+]
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled quality classifier (operators/classifier): exact
+    surface features (integer counts and IEEE divisions only — no
+    libm, so DuckDB reproduces them bit-identically) + sigmoid of
+    the frozen weight vector, rounded to 6 so libm `exp` ulp drift
+    cannot flip the hash. `keep` is the classifier's gate verdict."""
+    from osm_wayback_spark.operators.classifier import (
+        doc_features,
+        score_logreg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    p = score_logreg(QUALITY_LR_WEIGHTS)
+    return doc_features(docs).select(
+        "doc_id",
+        F.round(p, 6).alias("q_score"),
+        (p > 0.5).alias("keep"),
+    )
+
+
 # rendered once for the oracle as a flat SQL list literal of
 # 'pattern<TAB>replacement' strings (DuckDB lambdas cannot contain
 # subqueries, so the list is inlined, not CTE-referenced)
@@ -1393,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "token_stats_bpe": q_token_stats_bpe,
         "bpe_encode": q_bpe_encode,
+        "quality_classifier": q_quality_classifier,
         "repetition_stats": q_repetition_stats,
         "url_stats": q_url_stats,
         "corpus_sample": q_corpus_sample,
@@ -2123,6 +2159,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '(\w+|[^\w\s])', 0)) AS BIGINT)
                      AS n_bpe_tokens
             FROM documents
+        """,
+        "quality_classifier": f"""
+            WITH f AS (
+              SELECT doc_id,
+                least(len(text) / 500.0, 1.0) AS f_len,
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    w -> list_contains(['the','a','of','and','to','is'],
+                                       lower(w))))
+                  / CAST(greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END, 1) AS DOUBLE) AS f_stop,
+                len(regexp_replace(text, '[^\\.\\,\\;\\:\\!\\?]', '', 'g'))
+                  / CAST(greatest(len(text), 1) AS DOUBLE) AS f_punct,
+                len(regexp_replace(text, '\\s', '', 'g'))
+                  / CAST(greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END, 1) AS DOUBLE) AS f_wlen,
+                len(regexp_replace(text, '[^0-9]', '', 'g'))
+                  / CAST(greatest(len(text), 1) AS DOUBLE) AS f_digit
+              FROM documents
+            ),
+            z AS (
+              SELECT doc_id,
+                {QUALITY_LR_WEIGHTS[0]!r}
+                + {QUALITY_LR_WEIGHTS[1]!r} * f_len
+                + {QUALITY_LR_WEIGHTS[2]!r} * f_stop
+                + {QUALITY_LR_WEIGHTS[3]!r} * f_punct
+                + {QUALITY_LR_WEIGHTS[4]!r} * f_wlen
+                + {QUALITY_LR_WEIGHTS[5]!r} * f_digit AS z
+              FROM f
+            )
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-z)), 6) AS q_score,
+                   (1.0 / (1.0 + exp(-z))) > 0.5 AS keep
+            FROM z
         """,
         "bpe_encode": f"""
             WITH w AS (

@@ -524,8 +524,10 @@ def main() -> None:
         "relation_assembly",
         "token_packing",
         # round-5: trained-BPE tokenization (40-merge aggregate fold
-        # riding the scan) — the token-accounting hot path
+        # riding the scan) — the token-accounting hot path — and the
+        # distilled quality-classifier gate (sigmoid column math)
         "bpe_encode",
+        "quality_classifier",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -192,6 +192,17 @@ def main() -> None:
         ],
     )
     add(
+        "quality_classifier (distilled gate): sigmoid column math, "
+        "zero shuffle",
+        e.q_quality_classifier(spark, SF),
+        [
+            "featurize + sigmoid(w·x) with frozen weights is pure "
+            "column arithmetic — NO Exchange, no Python; the classifier "
+            "gate rides the scan (training is separate: one aggregation "
+            "job per GD step over a persisted sample)",
+        ],
+    )
+    add(
         "pii_scrub (redaction): regexp column math, zero shuffle",
         e.q_pii_scrub(spark, SF),
         [
