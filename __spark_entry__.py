@@ -882,6 +882,23 @@ BPE_MERGES = [
 ]
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM perplexity (operators/lm) — the CCNet-style
+    quality signal — with the WHOLE operator under the hash gate,
+    training included: the model is counted from the doc_id%10==0
+    held-in slice and every document is scored against it. Unseen
+    n-grams hit the uniform add-1 backoff purely through the
+    coalesce algebra (no special-case branch to diverge on)."""
+    from osm_wayback_spark.operators.lm import lm_perplexity, train_char_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_char_lm(docs.filter(F.col("doc_id") % 10 == 0), n=3)
+    out = lm_perplexity(docs, model, n=3)
+    return out.select(
+        "doc_id", "n_grams", F.round("ppl", 6).alias("ppl")
+    )
+
+
 # Frozen output of train_logreg on the sf0.001 documents, label =
 # the corpus_filter quality gate (quality_score >= 0.3) — the
 # distillation target a production pipeline uses (learn the
@@ -1429,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_bpe": q_token_stats_bpe,
         "bpe_encode": q_bpe_encode,
         "quality_classifier": q_quality_classifier,
+        "lm_perplexity": q_lm_perplexity,
         "repetition_stats": q_repetition_stats,
         "url_stats": q_url_stats,
         "corpus_sample": q_corpus_sample,
@@ -2159,6 +2177,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '(\w+|[^\w\s])', 0)) AS BIGINT)
                      AS n_bpe_tokens
             FROM documents
+        """,
+        "lm_perplexity": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 2)) AS i
+              FROM norm
+            ),
+            grams AS (
+              SELECT doc_id, substr(t, i, 2) AS prefix,
+                     substr(t, i + 2, 1) AS nxt
+              FROM pos
+            ),
+            model AS (
+              SELECT prefix, nxt, count(*) AS c_pair
+              FROM grams WHERE doc_id % 10 = 0
+              GROUP BY 1, 2
+            ),
+            totals AS (
+              SELECT prefix, sum(c_pair) AS c_prefix FROM model GROUP BY 1
+            ),
+            scored AS (
+              SELECT g.doc_id,
+                     ln((coalesce(m.c_pair, 0) + 1.0)
+                        / (coalesce(tt.c_prefix, 0)
+                           + 1.0 * (SELECT count(DISTINCT nxt) FROM model)))
+                       AS logp
+              FROM grams g
+              LEFT JOIN model m ON g.prefix = m.prefix AND g.nxt = m.nxt
+              LEFT JOIN totals tt ON g.prefix = tt.prefix
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   round(exp(-avg(logp)), 6) AS ppl
+            FROM scored GROUP BY doc_id
         """,
         "quality_classifier": f"""
             WITH f AS (

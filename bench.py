@@ -528,6 +528,9 @@ def main() -> None:
         # distilled quality-classifier gate (sigmoid column math)
         "bpe_encode",
         "quality_classifier",
+        # round-5: char-trigram LM perplexity (train slice + broadcast
+        # score) — the CCNet-style quality wall
+        "lm_perplexity",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

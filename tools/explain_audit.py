@@ -192,6 +192,18 @@ def main() -> None:
         ],
     )
     add(
+        "lm_perplexity (CCNet-style quality signal): broadcast model, "
+        "one shuffle",
+        e.q_lm_perplexity(spark, SF),
+        [
+            "the alphabet-bounded model (pair counts + prefix totals) is "
+            "BROADCAST to the exploded n-gram stream — the only shuffle "
+            "on the corpus-sized side is the final groupBy(doc_id); "
+            "unseen n-grams take the uniform backoff via coalesce "
+            "algebra, no branch",
+        ],
+    )
+    add(
         "quality_classifier (distilled gate): sigmoid column math, "
         "zero shuffle",
         e.q_quality_classifier(spark, SF),
