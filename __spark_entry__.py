@@ -882,6 +882,38 @@ BPE_MERGES = [
 ]
 
 
+def q_dedupe_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update (operators/dedup.dedupe_increment):
+    the doc_id%5==0 slice plays the NEW crawl batch, the rest the
+    existing corpus; each new doc is screened exact (md5 semi-join)
+    and near (banded MinHash new×corpus equi-join + exact-Jaccard
+    verify) — the whole verdict table is hash-gated against an
+    independent all-SQL recomputation."""
+    from osm_wayback_spark.operators.dedup import dedupe_increment
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedupe_increment(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        num_hashes=8,
+        bands=4,
+        threshold=0.3,
+    )
+
+
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing (operators/corpus.mix_rebalance): keep
+    the largest deterministic subset matching a 40/30/30 en/es/de
+    target mix. The limiting-stratum minimum, per-stratum keep rates
+    and the md5-bucket filter are all in the plan (no driver
+    collect) and mirrored op-for-op in the oracle — identical IEEE
+    arithmetic order, so even the floor() boundaries agree."""
+    from osm_wayback_spark.operators.corpus import mix_rebalance
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_rebalance(docs, {"en": 0.4, "es": 0.3, "de": 0.3})
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram LM perplexity (operators/lm) — the CCNet-style
     quality signal — with the WHOLE operator under the hash gate,
@@ -1447,6 +1479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "quality_classifier": q_quality_classifier,
         "lm_perplexity": q_lm_perplexity,
+        "mix_rebalance": q_mix_rebalance,
+        "dedupe_increment": q_dedupe_increment,
         "repetition_stats": q_repetition_stats,
         "url_stats": q_url_stats,
         "corpus_sample": q_corpus_sample,
@@ -2178,6 +2212,30 @@ def oracle_sql() -> dict[str, str]:
                      AS n_bpe_tokens
             FROM documents
         """,
+        "mix_rebalance": r"""
+            WITH cnt AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ),
+            tgt(lang, p) AS (
+              VALUES ('en', CAST(0.4 AS DOUBLE)),
+                     ('es', CAST(0.3 AS DOUBLE)),
+                     ('de', CAST(0.3 AS DOUBLE))
+            ),
+            j AS (
+              SELECT c.lang, c.n, t.p FROM cnt c JOIN tgt t USING (lang)
+            ),
+            lim AS (SELECT min(n / p) AS t FROM j),
+            rates AS (
+              SELECT lang,
+                     CAST(floor(100.0 * (SELECT t FROM lim) * p / n)
+                          AS INTEGER) AS keep_pct
+              FROM j
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r USING (lang)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 < r.keep_pct
+        """,
         "lm_perplexity": r"""
             WITH norm AS (
               SELECT doc_id,
@@ -2522,5 +2580,54 @@ def oracle_sql() -> dict[str, str]:
                coalesce(c.component, ex.doc_id) AS component,
                ex.doc_id = coalesce(c.component, ex.doc_id) AS is_canonical
         FROM ex LEFT JOIN comp c ON ex.doc_id = c.node
+    """
+    sql["dedupe_increment"] = f"""
+        WITH shd AS (
+          SELECT DISTINCT doc_id, unnest({shingles3}) AS shingle
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents)
+        ),
+        sigs AS (
+          SELECT doc_id,
+            {', '.join(f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(8))}
+          FROM shd GROUP BY doc_id
+        ),
+        bands AS (
+          {' UNION ALL '.join(
+              f"SELECT doc_id, {b} AS band, md5(sig_{2 * b} || '|' || sig_{2 * b + 1}) AS bh FROM sigs"
+              for b in range(4))}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+        near AS (
+          SELECT DISTINCT c.doc_a AS doc_id
+          FROM cand c
+          JOIN (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shd a JOIN shd b ON a.shingle = b.shingle
+            WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+            GROUP BY 1, 2
+          ) x ON x.doc_a = c.doc_a AND x.doc_b = c.doc_b
+          JOIN sizes sa ON sa.doc_id = c.doc_a
+          JOIN sizes sb ON sb.doc_id = c.doc_b
+          WHERE round(x.i / (sa.sz + sb.sz - x.i), 6) >= 0.3
+        ),
+        exact AS (
+          SELECT DISTINCT n.doc_id
+          FROM documents n JOIN documents c2
+            ON md5(n.text) = md5(c2.text)
+          WHERE n.doc_id % 5 = 0 AND c2.doc_id % 5 <> 0
+        )
+        SELECT n.doc_id,
+               (e.doc_id IS NOT NULL) AS exact_dup,
+               (nr.doc_id IS NOT NULL) AS near_dup,
+               (e.doc_id IS NULL AND nr.doc_id IS NULL) AS keep
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) n
+        LEFT JOIN exact e ON e.doc_id = n.doc_id
+        LEFT JOIN near nr ON nr.doc_id = n.doc_id
     """
     return sql

@@ -137,6 +137,50 @@ def contamination_screen(
     )
 
 
+def mix_rebalance(
+    docs: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance the corpus to a target stratum mix (the
+    Pile/Dolma-style domain-mixing step): given target PROPORTIONS
+    per stratum, keep the largest deterministic subset whose mix
+    matches them — the achievable total is limited by the scarcest
+    stratum, T = min_s(n_s / p_s), and each stratum keeps rate
+    floor(100·T·p_s/n_s) percent of its documents via the same
+    md5-bucket hash `stratified_sample` uses (deterministic,
+    partition-independent, engine-mirrorable; 1% granularity).
+
+    Fully declarative — NO driver collect: the per-stratum counts,
+    the limiting-stratum minimum (a one-row aggregate), and the keep
+    rates are all computed in the plan and broadcast-joined back
+    onto the corpus, so the corpus-sized side sees one small-dim
+    equi-join and a per-row bucket filter. Strata absent from
+    `targets` (or with target 0) are dropped."""
+    tgt = docs.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in targets.items() if v > 0],
+        f"{stratum_col} string, p double",
+    )
+    cnt = (
+        docs.groupBy(stratum_col)
+        .agg(F.count("*").alias("n"))
+        .join(tgt, stratum_col)
+    )
+    limit = cnt.agg(F.min(F.col("n") / F.col("p")).alias("t"))
+    rates = cnt.crossJoin(F.broadcast(limit)).select(
+        stratum_col,
+        F.floor(
+            F.lit(100.0) * F.col("t") * F.col("p") / F.col("n")
+        ).cast("int").alias("keep_pct"),
+    )
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .filter(sample_bucket(F.col(id_col)) < F.col("keep_pct"))
+        .select(F.col(id_col).alias("doc_id"), stratum_col)
+    )
+
+
 def pack_summary(
     packed: DataFrame,
     token_col: str = "n_tokens",

@@ -638,3 +638,80 @@ def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
             "is_canonical", (F.col("doc_id") == F.col("component"))
         )
     )
+
+
+def dedupe_increment(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_bucket: int | None = None,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental corpus update — screen a NEW batch against an
+    EXISTING corpus → one row per new doc:
+    (doc_id, exact_dup, near_dup, keep = neither).
+
+    The daily-crawl shape of `dedupe_corpus`: intra-batch dedup is
+    that operator's job; this one answers "which new docs are
+    (near-)copies of what we already have". doc_ids must be unique
+    ACROSS both frames (they share the verification join keyspace).
+
+    Scale shape:
+    - exact: md5(text) LEFT SEMI join — shuffle on the 32-char
+      digest, never the text (same as exact_dedup).
+    - near: shuffle-free MinHash signatures on both sides, the ONE
+      shared `band_buckets` definition (so a corpus bucket table
+      precomputed for `streaming_near_dup_flags` is byte-compatible
+      here — pass it via `corpus_sigs`' banding), a (band, bh)
+      equi-join new×corpus (NOT a self-join: candidate growth is
+      |new|-bounded), `max_bucket` capping the CORPUS side's hot
+      buckets, then exact-Jaccard verification over the candidates
+      only.
+    - In production the corpus signatures are precomputed once
+      (`corpus_sigs=`) and reused across every increment — the
+      corpus is only ever re-read for the Jaccard verify of actual
+      candidates."""
+    new_ids = new_docs.select("doc_id")
+    corpus_md5 = corpus_docs.select(F.md5("text").alias("_md5")).distinct()
+    exact = (
+        new_docs.select("doc_id", F.md5("text").alias("_md5"))
+        .join(corpus_md5, "_md5", "left_semi")
+        .select("doc_id")
+        .withColumn("exact_dup", F.lit(True))
+    )
+    sig_new = minhash_signatures(new_docs, num_hashes, n)
+    sig_c = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else minhash_signatures(corpus_docs, num_hashes, n)
+    )
+    bk_new = band_buckets(sig_new, num_hashes, bands, id_out="doc_a")
+    bk_c = band_buckets(sig_c, num_hashes, bands, id_out="doc_b")
+    bk_c = _cap_buckets(bk_c, ["band", "bh"], max_bucket, "dedupe_increment")
+    cands = (
+        bk_new.join(bk_c, ["band", "bh"]).select("doc_a", "doc_b").distinct()
+    )
+    sh = doc_shingles(new_docs, n).unionByName(doc_shingles(corpus_docs, n))
+    near = (
+        _verify_jaccard(cands, sh, threshold)
+        .select("doc_a")
+        .distinct()
+        .withColumnRenamed("doc_a", "doc_id")
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        new_ids.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            (
+                ~F.coalesce("exact_dup", F.lit(False))
+                & ~F.coalesce("near_dup", F.lit(False))
+            ).alias("keep"),
+        )
+    )

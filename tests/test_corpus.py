@@ -146,3 +146,38 @@ def test_contamination_screen_hashed_parity_and_broadcast_plan(spark):
     with redirect_stdout(buf):
         contamination_screen(train, ev, n=5).explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_mix_rebalance(spark):
+    from osm_wayback_spark.operators.corpus import mix_rebalance, sample_bucket
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    # equal supply (1000 each), target 60/20/20: limiting stratum is
+    # en (1000/0.6), so en keeps 100%, de/zh keep floor(100*1000/0.6*0.2/1000)=33%
+    kept = mix_rebalance(docs, {"en": 0.6, "de": 0.2, "zh": 0.2})
+    by = {r.lang: r.n for r in kept.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert by["en"] == 1000
+    # 33% of md5 buckets — exact expected count from the bucket fn
+    exp = docs.filter(
+        (F.col("lang") == "de") & (sample_bucket(F.col("doc_id")) < 33)
+    ).count()
+    assert by["de"] == exp and by["zh"] > 0
+    # achieved mix ≈ target (1% bucket granularity)
+    tot = sum(by.values())
+    assert abs(by["en"] / tot - 0.6) < 0.05
+    # strata not in targets are dropped
+    assert "zh" not in {
+        r.lang for r in mix_rebalance(docs, {"en": 0.5, "de": 0.5})
+        .select("lang").distinct().collect()
+    }
+    # deterministic under repartitioning
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(
+        r.doc_id
+        for r in mix_rebalance(
+            docs.repartition(17), {"en": 0.6, "de": 0.2, "zh": 0.2}
+        ).collect()
+    )
+    assert a == b

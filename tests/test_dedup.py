@@ -386,3 +386,42 @@ def test_band_buckets_shared_by_batch_and_streaming(docs):
     assert {
         (r.corpus_doc_id, r.band, r.bh) for r in renamed.collect()
     } == {(r.doc_id, r.band, r.bh) for r in bk.collect()}
+
+
+def test_dedupe_increment(spark):
+    from osm_wayback_spark.operators.dedup import (
+        dedupe_increment,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    corpus = spark.createDataFrame(
+        [
+            (100, base * 3),
+            (101, "completely different corpus text about spark plans"),
+            (102, "another unrelated document body with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base * 3),                         # exact copy of 100
+            (2, base * 3 + "tail changed a bit"),  # near-dup of 100
+            (3, "fresh novel content nothing shares these tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.exact_dup, r.near_dup, r.keep)
+        for r in dedupe_increment(new, corpus, threshold=0.3).collect()
+    }
+    assert got[1] == (True, True, False)
+    assert got[2] == (False, True, False)
+    assert got[3] == (False, False, True)
+    # precomputed corpus signatures give the identical verdicts
+    sig_c = minhash_signatures(corpus)
+    got2 = {
+        r.doc_id: (r.exact_dup, r.near_dup, r.keep)
+        for r in dedupe_increment(new, corpus, corpus_sigs=sig_c).collect()
+    }
+    assert got2 == got

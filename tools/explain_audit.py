@@ -192,6 +192,27 @@ def main() -> None:
         ],
     )
     add(
+        "dedupe_increment (incremental corpus update): new x corpus "
+        "equi-join, no self-join",
+        e.q_dedupe_increment(spark, SF),
+        [
+            "exact screen shuffles on md5(text), never the text; near "
+            "screen joins NEW buckets against CORPUS buckets (candidate "
+            "growth |new|-bounded, not |corpus|^2), with the corpus-side "
+            "hot-bucket cap and Jaccard verify over candidates only",
+        ],
+    )
+    add(
+        "mix_rebalance (domain mixing): in-plan rates, broadcast dim join",
+        e.q_mix_rebalance(spark, SF),
+        [
+            "per-stratum counts, the limiting-stratum min and the keep "
+            "rates are computed IN the plan (no driver collect) and "
+            "broadcast back — the corpus side sees one small-dim "
+            "equi-join and a per-row md5-bucket filter",
+        ],
+    )
+    add(
         "lm_perplexity (CCNet-style quality signal): broadcast model, "
         "one shuffle",
         e.q_lm_perplexity(spark, SF),
