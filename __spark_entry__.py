@@ -882,6 +882,21 @@ BPE_MERGES = [
 ]
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing substring-match pairs (operators/dedup
+    .winnow_pairs, MOSS algorithm): every document pair sharing a
+    verbatim run of ≥ w+k-1 = 35 normalized chars is guaranteed to
+    surface. k=24/w=12 keeps the pair set meaningful on the
+    word-soup synthetic corpus (k=16/w=8 — a 23-char guarantee —
+    drowns in common 3-word phrases there; real prose can run the
+    default). The whole fingerprint pipeline (k-gram md5s, window
+    minima, distinct, equi-join) is hash-gated."""
+    from osm_wayback_spark.operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(docs, k=24, w=12)
+
+
 def q_dedupe_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus update (operators/dedup.dedupe_increment):
     the doc_id%5==0 slice plays the NEW crawl batch, the rest the
@@ -1481,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "mix_rebalance": q_mix_rebalance,
         "dedupe_increment": q_dedupe_increment,
+        "winnow_pairs": q_winnow_pairs,
         "repetition_stats": q_repetition_stats,
         "url_stats": q_url_stats,
         "corpus_sample": q_corpus_sample,
@@ -2211,6 +2227,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '(\w+|[^\w\s])', 0)) AS BIGINT)
                      AS n_bpe_tokens
             FROM documents
+        """,
+        "winnow_pairs": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                list_transform(generate_series(1, len(t) - 24 + 1),
+                               i -> md5(substr(t, i, 24))) AS hs
+              FROM norm WHERE len(t) >= 24 + 12 - 1
+            ),
+            fp AS (
+              SELECT DISTINCT doc_id,
+                unnest(list_transform(generate_series(1, len(hs) - 12 + 1),
+                                      j -> list_min(hs[j:j+11]))) AS fp
+              FROM h
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM fp a JOIN fp b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
         """,
         "mix_rebalance": r"""
             WITH cnt AS (

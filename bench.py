@@ -531,6 +531,16 @@ def main() -> None:
         # round-5: char-trigram LM perplexity (train slice + broadcast
         # score) — the CCNet-style quality wall
         "lm_perplexity",
+        # round-5 curation walls: PII scrub (regexp scan), benchmark
+        # decontamination (broadcast eval probe), domain-mix
+        # rebalancing (in-plan rates), incremental corpus dedup
+        "pii_scrub",
+        "contamination",
+        "mix_rebalance",
+        "dedupe_increment",
+        # round-5: winnowing substring fingerprints (MOSS) — the
+        # verbatim-run detector's per-row hash-array cost
+        "winnow_pairs",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

@@ -715,3 +715,80 @@ def dedupe_increment(
             ).alias("keep"),
         )
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the public MOSS algorithm) → distinct (doc_id, fp) rows.
+
+    Hash every k-char gram of the normalized text (lowercase,
+    whitespace-collapsed), slide a window of w consecutive hashes,
+    and keep each window's MINIMUM — the winnowing guarantee: two
+    documents sharing ANY substring of length ≥ w + k - 1 chars
+    share at least one fingerprint. This is the character-level
+    complement to shingle MinHash: MinHash measures whole-document
+    set overlap; winnowing catches a single long verbatim run (a
+    quoted paragraph, boilerplate block) inside otherwise-different
+    documents.
+
+    Pure per-row column math — two projections (the hash array, then
+    the window minima), no shuffle until the caller joins; md5 keeps
+    DuckDB parity (hex min ≡ 128-bit integer min). We keep the
+    distinct min-VALUE-per-window form (not the positional
+    rightmost-min variant): the ≥ w+k-1 guarantee only needs equal
+    windows to pick equal values, and a value set is
+    engine-order-independent. Documents shorter than w+k-1
+    normalized chars have no window and drop out."""
+    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    n_hash = F.length(t) - k + 1
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_hash),
+        lambda i: F.md5(F.substring(t, i, k)),
+    )
+    base = documents.filter(F.length(t) >= k + w - 1).select(
+        F.col(id_col).alias("doc_id"), hashes.alias("_hs")
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("_hs") - w + 1),
+        lambda j: F.array_min(F.slice("_hs", j, w)),
+    )
+    return base.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def winnow_pairs(
+    documents: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) document pairs sharing ≥1 winnowing
+    fingerprint — i.e. guaranteed to surface every pair sharing a
+    verbatim run of ≥ w+k-1 chars. Equi-join on the fingerprint
+    (never all-pairs); `max_bucket` drops degenerate boilerplate
+    fingerprints shared by half the corpus (logged, see
+    _cap_buckets) — None is the exact/oracle configuration."""
+    fps = winnow_fingerprints(documents, k, w)
+    fps = _cap_buckets(fps, ["fp"], max_bucket, "winnow_pairs")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.fp") == F.col("b.fp"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )

@@ -425,3 +425,44 @@ def test_dedupe_increment(spark):
         for r in dedupe_increment(new, corpus, corpus_sigs=sig_c).collect()
     }
     assert got2 == got
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    import hashlib
+
+    from osm_wayback_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    def ref_fps(text, k, w):
+        t = " ".join(text.split()).lower()
+        if len(t) < k + w - 1:
+            return set()
+        hs = [hashlib.md5(t[i:i + k].encode()).hexdigest()
+              for i in range(len(t) - k + 1)]
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog near the river bank",
+        "a wholly different document that QUOTES: the quick brown fox "
+        "jumps over the lazy dog near the river, then moves on",
+        "short",
+        "no overlap here at all just some other words entirely unique",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    k, w = 8, 4
+    got = {}
+    for r in winnow_fingerprints(docs, k, w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == ref_fps(t, k, w), i
+    # the winnowing guarantee: docs 0 and 1 share a >= w+k-1 = 11 char
+    # run ("the quick brown fox jumps over the lazy dog near the river")
+    pairs = {(r.doc_a, r.doc_b) for r in winnow_pairs(docs, k, w).collect()}
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+    # max_bucket=0-ish cap drops everything (lever engages)
+    assert winnow_pairs(docs, k, w, max_bucket=1).count() < len(pairs) + 1

@@ -192,6 +192,18 @@ def main() -> None:
         ],
     )
     add(
+        "winnow_pairs (MOSS substring match): per-row window minima, "
+        "fp equi-join",
+        e.q_winnow_pairs(spark, SF),
+        [
+            "k-gram hashing and window minima are per-row HOF column "
+            "math over a MATERIALIZED normalized-text column (Spark does "
+            "not CSE inside lambdas — inline norm re-ran the regex per "
+            "element); the only shuffle is the fingerprint equi-join, "
+            "cappable via max_bucket",
+        ],
+    )
+    add(
         "dedupe_increment (incremental corpus update): new x corpus "
         "equi-join, no self-join",
         e.q_dedupe_increment(spark, SF),
