@@ -752,3 +752,187 @@ def ann_ivf(
         fallback, spherical, escalate,
     )
     return rerank_topk(embeddings, queries, cands, k)
+
+
+# ---------------------------------------------------------------- PQ
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 10,
+    max_train: int = 20_000,
+    spherical: bool = True,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search" — public
+    algorithm) → (m, ksub, d/m) array.
+
+    The vector is split into ``m`` subspaces and each gets its own
+    ``ksub``-centroid k-means codebook, so a d-dim float vector
+    compresses to m small integers (m bytes for ksub ≤ 256) — the
+    lever that lets an ANN index over 10^12 embeddings live in
+    cluster RAM (64-dim float32 = 256 B → 8 B at m=8, 32×).
+
+    Codebooks are ALWAYS sample-trained (the paper's own protocol):
+    a deterministic vec_id-ordered sample of ``max_train`` rows is
+    collected and Lloyd's runs per-subspace in numpy on the driver —
+    cost O(max_train·ksub·d·iters), independent of corpus size.
+    ``spherical`` unit-normalizes before splitting, matching the
+    cosine re-rank metric downstream (L2 on unit vectors is
+    monotone in cosine)."""
+    dim = len(embeddings.select("embedding").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(max_train)
+        .collect()
+    )
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    if spherical:
+        mat = _unit_rows(mat)
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        k_eff = min(ksub, len(sub))
+        cent = sub[rng.choice(len(sub), size=k_eff, replace=False)]
+        if k_eff < ksub:  # degenerate tiny corpus: pad by repetition
+            cent = np.vstack([cent] * ((ksub + k_eff - 1) // k_eff))[:ksub]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: np.ndarray, spherical: bool = True
+) -> DataFrame:
+    """+ ``codes`` (array<int>, length m): per-subspace nearest
+    codebook entry — one Arrow-batched matmul per subspace per
+    batch; the codebooks ship in the task closure. In production the
+    codes column is written NEXT TO the IVF cell assignment
+    (cell-partitioned), so a probe reads only nprobe cells' codes —
+    m bytes per vector — and touches float vectors only for the
+    final re-rank."""
+    books = codebooks.astype(np.float64)
+    m, ksub, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def code_udf(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="object")
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        if spherical:
+            mat = _unit_rows(mat)
+        out = np.empty((len(mat), m), dtype="int32")
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cent = books[j]
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return embeddings.withColumn("codes", code_udf("embedding"))
+
+
+def ann_ivf_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    spherical: bool = True,
+) -> DataFrame:
+    """IVF-PQ approximate top-k → (query_id, vec_id, cosine, rank).
+
+    The production ANN shape at 10^12 vectors: IVF coarse cells
+    bound WHERE to look, PQ asymmetric-distance (ADC) ranks the
+    probed candidates from m-byte codes WITHOUT touching the float
+    vectors, and only the ``refine``·k ADC-best per query are
+    re-ranked exactly. Stages:
+
+    1. coarse candidates — `ann_ivf_candidates` (nprobe cells,
+       guaranteed-k fallback), exactly the audited IVF path;
+    2. ADC — candidates join the m-byte codes (shuffle carries
+       codes, not vectors) and group per query: ONE (m × ksub)
+       distance table per query, then a table-lookup sum per
+       candidate (`applyInPandas`, Arrow-batched numpy);
+    3. exact re-rank of the ADC top refine·k (`rerank_topk`, the
+       SQL-expressible stage the oracle checks).
+
+    ADC approximates L2 on unit vectors = monotone in cosine, so
+    the PQ ranking and the cosine re-rank agree on metric."""
+    refined = ann_ivf_pq_candidates(
+        embeddings, queries, k, n_centroids, nprobe, m, ksub, refine,
+        centroids, codebooks, spherical,
+    )
+    return rerank_topk(embeddings, queries, refined, k)
+
+
+def ann_ivf_pq_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    spherical: bool = True,
+) -> DataFrame:
+    """The ADC-refined (query_id, vec_id) candidate set of
+    `ann_ivf_pq` (stages 1–2 of its docstring) — exposed so the
+    driver oracle can materialize it and DuckDB can exact-re-rank
+    the SAME candidates (the ann_lsh/ann_ivf oracle pattern)."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            embeddings, m, ksub, spherical=spherical
+        )
+    books = codebooks.astype(np.float64)
+    m, ksub, dsub = books.shape
+
+    cands = ann_ivf_candidates(
+        embeddings, queries, k, n_centroids, nprobe,
+        centroids=centroids, spherical=spherical,
+    )
+    codes = pq_encode(embeddings, books, spherical).select("vec_id", "codes")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = cands.join(codes, "vec_id").join(F.broadcast(q), "query_id")
+    n_keep = refine * k
+
+    def adc(pdf: pd.DataFrame) -> pd.DataFrame:
+        qv = np.asarray(pdf["q_emb"].iloc[0], dtype=np.float64)
+        if spherical:
+            qv = qv / (np.linalg.norm(qv) or 1.0)
+        # one distance table per query: table[j, c] = ||q_j - C_jc||^2
+        table = np.empty((m, ksub))
+        for j in range(m):
+            diff = books[j] - qv[j * dsub : (j + 1) * dsub][None, :]
+            table[j] = (diff * diff).sum(axis=1)
+        code_mat = np.stack(pdf["codes"].to_numpy()).astype("int64")
+        dist = table[np.arange(m)[None, :], code_mat].sum(axis=1)
+        order = np.argsort(dist, kind="stable")[:n_keep]
+        return pdf.iloc[order][["query_id", "vec_id"]]
+
+    return joined.groupBy("query_id").applyInPandas(
+        adc, "query_id long, vec_id long"
+    )

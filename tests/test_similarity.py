@@ -345,3 +345,78 @@ def test_ivf_indexed_probe_runs_once(spark, tmp_path):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
         assert marker not in plan, plan
     assert cands.count() > 0
+
+
+def test_pq_encode_reconstruction_and_determinism(spark):
+    import math
+    import random as rnd
+
+    import numpy as np
+
+    from osm_wayback_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    rng = rnd.Random(3)
+    dirs = []
+    for _ in range(6):
+        d = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in d))
+        dirs.append([x / n for x in d])
+    rows = [
+        (i, [b + rng.gauss(0, 0.1) for b in dirs[i % 6]]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = train_pq_codebooks(df, m=4, ksub=16)
+    assert books.shape == (4, 16, 4)
+    coded = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c)
+               for c in coded.values())
+    # reconstruction from codes stays close in cosine to the original
+    sims = []
+    for i, v in rows[:50]:
+        rec = np.concatenate([books[j][coded[i][j]] for j in range(4)])
+        v = np.asarray(v) / np.linalg.norm(v)
+        sims.append(float(rec @ v / np.linalg.norm(rec)))
+    assert sum(sims) / len(sims) > 0.9, sum(sims) / len(sims)
+    # partition independent
+    coded2 = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df.repartition(7), books).collect()
+    }
+    assert coded2 == coded
+
+
+def test_ann_ivf_pq_recall(spark):
+    import math
+    import random as rnd
+
+    from osm_wayback_spark.operators.similarity import ann_ivf_pq, cosine_topk
+
+    rng = rnd.Random(11)
+    dirs = []
+    for _ in range(8):
+        d = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in d))
+        dirs.append([x / n for x in d])
+    rows = [
+        (i, [b + rng.gauss(0, 0.15) for b in dirs[i % 8]]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 15")
+    k = 5
+    exact = {}
+    for r in cosine_topk(df, queries, k=k).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    out = ann_ivf_pq(df, queries, k=k, n_centroids=8, nprobe=3,
+                     m=4, ksub=16, refine=4).collect()
+    for r in out:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(got) == set(exact)
+    assert all(len(v) == k for v in got.values())
+    recall = sum(
+        len(got[q] & exact[q]) for q in exact
+    ) / (k * len(exact))
+    assert recall >= 0.8, recall

@@ -192,6 +192,16 @@ def main() -> None:
         ],
     )
     add(
+        "ann_ivf_pq (memory-bounded ANN): ADC from m-byte codes",
+        e.q_ann_ivf_pq(spark, SF),
+        [
+            "the candidate shuffle carries 8-byte PQ codes, not 256-byte "
+            "float vectors; ONE (m x ksub) distance table per query then "
+            "table-lookup sums (Arrow-batched applyInPandas); float "
+            "embeddings touched only for the final refine*k re-rank",
+        ],
+    )
+    add(
         "winnow_pairs (MOSS substring match): per-row window minima, "
         "fp equi-join",
         e.q_winnow_pairs(spark, SF),
