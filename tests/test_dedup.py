@@ -466,3 +466,22 @@ def test_winnow_fingerprints_matches_reference(spark):
     assert not any(3 in p for p in pairs)
     # max_bucket=0-ish cap drops everything (lever engages)
     assert winnow_pairs(docs, k, w, max_bucket=1).count() < len(pairs) + 1
+
+
+def test_winnow_xxhash_path_keeps_guarantee(spark):
+    from osm_wayback_spark.operators.dedup import winnow_pairs
+
+    shared = "a long verbatim boilerplate run that both documents quote "
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here. " + shared * 2 + " unique tail one"),
+            (2, "different opening text; " + shared * 2 + " other ending"),
+            (3, "nothing in common with the others at all frankly"),
+        ],
+        "doc_id long, text string",
+    )
+    for fn in ("md5", "xxhash64"):
+        pairs = {(r.doc_a, r.doc_b)
+                 for r in winnow_pairs(docs, k=8, w=4, hash_fn=fn).collect()}
+        assert (1, 2) in pairs, fn
+        assert not any(3 in p for p in pairs), fn
