@@ -426,6 +426,35 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the PREBUILT persisted IVF-PQ index (codes live in
+    the cell-partitioned assignment table; the probed scan reads
+    m-byte codes, never float vectors) — materialized-candidates
+    oracle pattern: DuckDB exact-re-ranks the SAME ADC-refined
+    set."""
+    import os
+
+    from osm_wayback_spark.operators.similarity import (
+        ann_ivfpq_indexed_candidates,
+        rerank_topk,
+        write_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    idx = f"{_ORACLE_DIR}/ivfpq_index"
+    write_ivfpq_index(emb, idx, n_centroids=16, m=8, ksub=16)
+    path = f"{_ORACLE_DIR}/ann_ivfpq_indexed_cands.parquet"
+    ann_ivfpq_indexed_candidates(
+        emb, queries, idx, k=5, nprobe=6, refine=4
+    ).write.mode("overwrite").parquet(path)
+    out = rerank_topk(emb, queries, spark.read.parquet(path), k=5)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 — zonal statistics: the event-count raster (res-7 cells)
     aggregated per nation rectangle (the same polygons as `pip`).
@@ -1503,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "zonal_stats": q_zonal_stats,
         "rasterize": q_rasterize,
@@ -1846,6 +1876,29 @@ def oracle_sql() -> dict[str, str]:
             WITH cand AS (
               SELECT query_id, vec_id
               FROM read_parquet('{_ORACLE_DIR}/ann_ivf_cands.parquet/*.parquet')
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(
+                       list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS cosine
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.vec_id
+            )
+            SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_ivfpq_indexed": f"""
+            WITH cand AS (
+              SELECT query_id, vec_id
+              FROM read_parquet('{_ORACLE_DIR}/ann_ivfpq_indexed_cands.parquet/*.parquet')
             ),
             scored AS (
               SELECT c.query_id, c.vec_id,

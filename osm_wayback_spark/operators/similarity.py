@@ -913,11 +913,28 @@ def ann_ivf_pq_candidates(
         centroids=centroids, spherical=spherical,
     )
     codes = pq_encode(embeddings, books, spherical).select("vec_id", "codes")
+    return _adc_refine(
+        cands.join(codes, "vec_id"), queries, books, refine * k, spherical
+    )
+
+
+def _adc_refine(
+    cands_with_codes: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    n_keep: int,
+    spherical: bool,
+) -> DataFrame:
+    """ADC stage shared by the inline and the persisted-index PQ
+    paths: (query_id, vec_id, codes) candidates → the n_keep
+    ADC-best (query_id, vec_id) per query. One (m × ksub) distance
+    table per query, then a table-lookup sum per candidate —
+    Arrow-batched `applyInPandas` grouped on query_id."""
+    m, ksub, dsub = books.shape
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    joined = cands.join(codes, "vec_id").join(F.broadcast(q), "query_id")
-    n_keep = refine * k
+    joined = cands_with_codes.join(F.broadcast(q), "query_id")
 
     def adc(pdf: pd.DataFrame) -> pd.DataFrame:
         qv = np.asarray(pdf["q_emb"].iloc[0], dtype=np.float64)
@@ -936,3 +953,141 @@ def ann_ivf_pq_candidates(
     return joined.groupBy("query_id").applyInPandas(
         adc, "query_id long, vec_id long"
     )
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    spherical: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train-once IVF-PQ index materialization — the full production
+    ANN artifact at 10^12 vectors:
+
+        <path>/centroids.json        (coarse centroids + PQ codebooks
+                                      + config, one filesystem)
+        <path>/assignments.parquet   (vec_id, codes), written
+                                     partitionBy(cell)
+
+    The m-byte PQ codes live IN the cell-partitioned assignment
+    table, so a probe reads ONLY its nprobe cells' files and those
+    files carry codes, not 256-byte float vectors — the scan that
+    feeds ADC is (m + 8) bytes per corpus vector. Float embeddings
+    are read only by the final exact re-rank, via vec_id point-joins.
+    Returns (centroids, codebooks)."""
+    import json as _json
+
+    centroids = train_ivf_centroids(
+        embeddings, n_centroids, iters, spherical=spherical
+    )
+    codebooks = train_pq_codebooks(
+        embeddings, m, ksub, spherical=spherical
+    )
+    assigned = pq_encode(
+        with_ivf_cell(embeddings, centroids, spherical), codebooks, spherical
+    )
+    assigned.select("vec_id", "cell", "codes").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/assignments.parquet")
+    meta_json = _json.dumps(
+        {
+            "centroids": centroids.tolist(),
+            "codebooks": codebooks.tolist(),
+            "spherical": spherical,
+            "n_centroids": int(n_centroids),
+            "m": int(m),
+            "ksub": int(ksub),
+        }
+    )
+    embeddings.sparkSession.createDataFrame(
+        [(meta_json,)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/centroids.json")
+    return centroids, codebooks
+
+
+def read_ivfpq_index(
+    spark, path: str
+) -> tuple[np.ndarray, np.ndarray, DataFrame, bool]:
+    """→ (centroids, codebooks, assignments(vec_id, cell, codes),
+    spherical) — same filesystem rules as read_ivf_index."""
+    import json as _json
+
+    meta = _json.loads(
+        spark.read.text(f"{path}/centroids.json").collect()[0].value
+    )
+    assignments = spark.read.parquet(f"{path}/assignments.parquet")
+    return (
+        np.array(meta["centroids"], dtype=np.float64),
+        np.array(meta["codebooks"], dtype=np.float64),
+        assignments,
+        bool(meta["spherical"]),
+    )
+
+
+def ann_ivfpq_indexed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    index_path: str,
+    k: int,
+    nprobe: int = 4,
+    refine: int = 4,
+) -> DataFrame:
+    """ANN over a PREBUILT IVF-PQ index → (query_id, vec_id, cosine,
+    rank): probe nprobe cells (explicit static partition pruning,
+    same single-checkpointed probe pass as ann_ivf_indexed), rank
+    the pruned cells' m-byte codes by ADC, exact-re-rank the
+    refine·k best. The corpus-sized scan reads codes only."""
+    refined = ann_ivfpq_indexed_candidates(
+        embeddings, queries, index_path, k, nprobe, refine
+    )
+    return rerank_topk(embeddings, queries, refined, k)
+
+
+def ann_ivfpq_indexed_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    index_path: str,
+    k: int,
+    nprobe: int = 4,
+    refine: int = 4,
+) -> DataFrame:
+    """The ADC-refined (query_id, vec_id) candidate set of
+    `ann_ivfpq_indexed` (probe → prune → ADC, no exact re-rank) —
+    exposed for the materialized-candidates oracle pattern (DuckDB
+    exact-re-ranks the SAME set)."""
+    spark = embeddings.sparkSession
+    centroids, books, assignments, spherical = read_ivfpq_index(
+        spark, index_path
+    )
+    cent = _unit_rows(centroids) if spherical else centroids
+    cnorm2 = (cent * cent).sum(axis=1)
+    n_probe = min(nprobe, len(cent))
+
+    @pandas_udf("array<int>")
+    def probe_udf(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="object")
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        if spherical:
+            mat = _unit_rows(mat)
+        scores = cnorm2[None, :] - 2.0 * (mat @ cent.T)
+        order = np.argsort(scores, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    _ensure_checkpoint_dir(queries)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe_udf("embedding")).alias("cell"),
+    ).checkpoint(eager=True)
+    probed = [r.cell for r in q.select("cell").distinct().collect()]
+    pruned = assignments.filter(F.col("cell").isin(probed))
+    cands = (
+        pruned.join(q, on="cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "codes")
+        .distinct()
+    )
+    return _adc_refine(cands, queries, books, refine * k, spherical)

@@ -420,3 +420,55 @@ def test_ann_ivf_pq_recall(spark):
         len(got[q] & exact[q]) for q in exact
     ) / (k * len(exact))
     assert recall >= 0.8, recall
+
+
+def test_ivfpq_indexed_roundtrip_and_recall(spark, tmp_path):
+    import math
+    import random as rnd
+
+    from osm_wayback_spark.operators.similarity import (
+        ann_ivfpq_indexed,
+        cosine_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    rng = rnd.Random(21)
+    dirs = []
+    for _ in range(8):
+        d = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in d))
+        dirs.append([x / n for x in d])
+    rows = [
+        (i, [b + rng.gauss(0, 0.15) for b in dirs[i % 8]]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivfpq")
+    cents, books = write_ivfpq_index(df, idx, n_centroids=8, m=4, ksub=16)
+    r_cents, r_books, assigns, sph = read_ivfpq_index(spark, idx)
+    assert sph and r_cents.shape == cents.shape
+    assert (r_books == books).all()
+    assert assigns.count() == 400
+    assert set(assigns.columns) >= {"vec_id", "cell", "codes"}
+    # cell is a partition column (directory-partitioned)
+    import os
+
+    assert any(
+        d.startswith("cell=")
+        for d in os.listdir(f"{idx}/assignments.parquet")
+        if not d.startswith("_")
+    )
+
+    queries = df.filter("vec_id < 15")
+    k = 5
+    exact = {}
+    for r in cosine_topk(df, queries, k=k).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in ann_ivfpq_indexed(df, queries, idx, k=k, nprobe=3,
+                               refine=4).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recall = sum(len(got.get(q, set()) & exact[q]) for q in exact) / (
+        k * len(exact)
+    )
+    assert recall >= 0.8, recall

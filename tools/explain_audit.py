@@ -192,6 +192,16 @@ def main() -> None:
         ],
     )
     add(
+        "ann_ivfpq_indexed (persisted IVF-PQ): pruned code-only scan",
+        e.q_ann_ivfpq_indexed(spark, SF),
+        [
+            "codes live IN the cell-partitioned assignment table: the "
+            "probe's IN-filter prunes to nprobe cells and those files "
+            "carry (m+8)-byte rows, never 256-byte vectors; floats are "
+            "read only by the final re-rank's vec_id point-joins",
+        ],
+    )
+    add(
         "ann_ivf_pq (memory-bounded ANN): ADC from m-byte codes",
         e.q_ann_ivf_pq(spark, SF),
         [
