@@ -212,3 +212,83 @@ def test_mvt_zigzag_roundtrip_property(n):
     from osm_wayback_spark.functions.mvt import _unzigzag, _zigzag
 
     assert _unzigzag(_zigzag(n)) == n
+
+
+# -- BPE merge/encode purity --------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_python_core_train_encode_inverse(words_list, n_merges):
+    """Pure-core property (no Spark): encoding with merges trained on
+    the same tiny corpus never INCREASES token count vs raw chars,
+    concatenating the tokens reproduces the word, and every token is
+    either a single char or a learned merge product."""
+    from osm_wayback_spark.functions.bpe import (
+        encode_bpe_reference,
+        merge_word,
+    )
+
+    freqs = {}
+    for w in words_list:
+        freqs[w] = freqs.get(w, 0) + 1
+    # train with the module's own pure helpers (mirrors train_bpe's
+    # histogram loop without a Spark session)
+    vocab = {tuple(w): c for w, c in freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        stats = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        merges.append(best[0])
+        vocab = {merge_word(s, *best[0]): c for s, c in vocab.items()}
+
+    produced = {l + r for l, r in merges}
+    text = " ".join(words_list)
+    toks = encode_bpe_reference(text, merges)
+    assert "".join(toks) == "".join(words_list)
+    assert len(toks) <= sum(len(w) for w in words_list)
+    for t in toks:
+        assert len(t) == 1 or t in produced
+
+
+@given(st.text(alphabet="abc x", min_size=0, max_size=60))
+@settings(max_examples=150, deadline=None)
+def test_winnow_guarantee_python_model(t):
+    """Winnowing guarantee on the pure model: a text always shares
+    every fingerprint with itself, and any w+k-1-char substring
+    planted into another text produces a shared fingerprint."""
+    import hashlib
+
+    k, w = 4, 3
+
+    def fps(text):
+        s = " ".join(text.split()).lower()
+        if len(s) < k + w - 1:
+            return set()
+        hs = [
+            hashlib.md5(s[i:i + k].encode()).hexdigest()
+            for i in range(len(s) - k + 1)
+        ]
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    base = fps(t)
+    assert fps(t) == base
+    run = " ".join(t.split()).lower()
+    if len(run) >= k + w - 1:
+        # plant the full normalized text into fresh context
+        host = "zzz " + run + " qqq"
+        assert base & fps(host), (t, host)
