@@ -120,3 +120,43 @@ def test_write_mbtiles_container(spark, tmp_path):
     }
     con2.close()
     assert blobs1 == blobs2
+
+
+def test_write_corpus_shards_manifest_and_determinism(spark, tmp_path):
+    from osm_wayback_spark.sources.sinks import (
+        verify_corpus_shards,
+        write_corpus_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", (i * 3) % 40 + 1) for i in range(500)],
+        "doc_id long, text string, n_tokens long",
+    )
+    p = str(tmp_path / "corpus")
+    man = write_corpus_shards(docs, p, n_shards=8, token_col="n_tokens")
+    assert man["total_rows"] == 500 and len(man["shards"]) == 8
+    assert sum(s["rows"] for s in man["shards"]) == 500
+    assert sum(s["tokens"] for s in man["shards"]) == sum(
+        (i * 3) % 40 + 1 for i in range(500)
+    )
+    # loader-side integrity check passes on the written artifact
+    assert verify_corpus_shards(spark, p)
+    # deterministic shard MEMBERSHIP under repartitioning
+    man2 = write_corpus_shards(
+        docs.repartition(13), str(tmp_path / "corpus2"), n_shards=8,
+        token_col="n_tokens",
+    )
+    assert man2["shards"] == man["shards"]
+    # roundtrip: all rows come back exactly once
+    back = spark.read.parquet(f"{p}/data.parquet")
+    assert back.count() == 500
+    assert back.select("doc_id").distinct().count() == 500
+    # a corrupted artifact (one shard dir dropped) fails verification
+    import shutil
+
+    victim = next(
+        d for d in __import__("os").listdir(f"{p}/data.parquet")
+        if d.startswith("shard=")
+    )
+    shutil.rmtree(f"{p}/data.parquet/{victim}")
+    assert not verify_corpus_shards(spark, p)
