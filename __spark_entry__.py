@@ -1002,6 +1002,19 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles (operators/lm
+    .ppl_buckets) over the lm_perplexity scores: the exact
+    interpolated percentile (one scalar aggregate broadcast back —
+    no global sort) matches DuckDB's quantile_cont bit-for-bit on
+    the round-6 ppl values, so the bucketing is hash-gated on top
+    of the already-gated LM scoring."""
+    from osm_wayback_spark.operators.lm import ppl_buckets
+
+    scored = q_lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
+    return ppl_buckets(scored)
+
+
 # Frozen output of train_logreg on the sf0.001 documents, label =
 # the corpus_filter quality gate (quality_score >= 0.3) — the
 # distillation target a production pipeline uses (learn the
@@ -1552,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "quality_classifier": q_quality_classifier,
         "lm_perplexity": q_lm_perplexity,
+        "ppl_buckets": q_ppl_buckets,
         "mix_rebalance": q_mix_rebalance,
         "dedupe_increment": q_dedupe_increment,
         "winnow_pairs": q_winnow_pairs,
@@ -2722,6 +2736,21 @@ def oracle_sql() -> dict[str, str]:
                coalesce(c.component, ex.doc_id) AS component,
                ex.doc_id = coalesce(c.component, ex.doc_id) AS is_canonical
         FROM ex LEFT JOIN comp c ON ex.doc_id = c.node
+    """
+    sql["ppl_buckets"] = f"""
+        WITH base AS (
+          SELECT doc_id, ppl FROM ({sql['lm_perplexity']})
+        ),
+        cut AS (
+          SELECT quantile_cont(ppl, 1.0/3) AS t1,
+                 quantile_cont(ppl, 2.0/3) AS t2
+          FROM base
+        )
+        SELECT doc_id, ppl,
+               CASE WHEN ppl <= t1 THEN 'head'
+                    WHEN ppl <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM base, cut
     """
     sql["dedupe_increment"] = f"""
         WITH shd AS (

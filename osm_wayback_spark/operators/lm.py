@@ -121,3 +121,42 @@ def lm_perplexity(
         F.count("*").alias("n_grams"),
         F.exp(-F.avg("logp")).alias("ppl"),
     )
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    col: str = "ppl",
+    probs: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 split the
+    corpus into head/middle/tail by LM perplexity terciles; head =
+    lowest perplexity = most in-distribution): + ``bucket``.
+
+    The cut points are ONE scalar aggregate row broadcast back onto
+    the corpus — no global sort, no ntile window over the full
+    table. ``exact=True`` uses the exact interpolated percentile
+    (identical semantics to DuckDB's quantile_cont, so the whole
+    operator is hash-gatable); at 100 TB set ``exact=False`` for
+    approx_percentile with bounded error — the aggregate becomes a
+    fixed-size sketch instead of a value buffer, and CCNet's own
+    protocol (cuts from a reference sample, reused as constants) is
+    `probs`-equivalent anyway."""
+    pct = F.percentile if exact else (
+        lambda c, p: F.percentile_approx(c, p, 10_000)
+    )
+    cuts = scored.agg(
+        pct(F.col(col), F.lit(list(probs))).alias("_t")
+    ).select(F.col("_t")[0].alias("_t1"), F.col("_t")[1].alias("_t2"))
+    lo, mid, hi = labels
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "bucket",
+            F.when(F.col(col) <= F.col("_t1"), F.lit(lo))
+            .when(F.col(col) <= F.col("_t2"), F.lit(mid))
+            .otherwise(F.lit(hi)),
+        )
+        .drop("_t1", "_t2")
+    )

@@ -86,3 +86,27 @@ def test_train_partition_independent(spark):
     a = sorted(map(tuple, train_char_lm(docs, n=3).collect()))
     b = sorted(map(tuple, train_char_lm(docs.repartition(11), n=3).collect()))
     assert a == b
+
+
+def test_ppl_buckets(spark):
+    from osm_wayback_spark.operators.lm import ppl_buckets
+
+    rows = [(i, float(i + 1)) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, ppl double")
+    got = {r.doc_id: r.bucket for r in ppl_buckets(df).collect()}
+    # exact terciles of 1..9: t1 = 1 + (8)*(1/3) = 3.667, t2 = 6.333
+    assert [got[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # approx path produces the same split on this separation
+    got2 = {
+        r.doc_id: r.bucket for r in ppl_buckets(df, exact=False).collect()
+    }
+    assert got2 == got
+    # custom labels + probs
+    g3 = {
+        r.doc_id: r.bucket
+        for r in ppl_buckets(df, probs=(0.5, 0.9),
+                             labels=("keep", "maybe", "drop")).collect()
+    }
+    assert g3[0] == "keep" and g3[8] == "drop"

@@ -245,6 +245,15 @@ def main() -> None:
         ],
     )
     add(
+        "ppl_buckets (CCNet corpus split): one broadcast percentile row",
+        e.q_ppl_buckets(spark, SF),
+        [
+            "the tercile cut points are ONE scalar aggregate broadcast "
+            "back onto the corpus — no global sort, no ntile window over "
+            "the full table; exact=False swaps in an approx sketch",
+        ],
+    )
+    add(
         "lm_perplexity (CCNet-style quality signal): broadcast model, "
         "one shuffle",
         e.q_lm_perplexity(spark, SF),
