@@ -1172,6 +1172,46 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_summary(pack_tokens(scored, budget=512))
 
 
+def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (functions/text
+    .canonical_url): messy URLs (mixed-case scheme/host, default
+    ports, tracking params, fragments) are constructed
+    deterministically per doc, canonicalized with pure column math,
+    and hash-gated — the DuckDB oracle applies the SAME RE2/Java
+    common-subset patterns plus the same CASE-based port logic
+    (no regex backreferences, whose replacement syntax differs
+    between engines)."""
+    from osm_wayback_spark.functions.text import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+                F.lit("http://")
+            ),
+            F.initcap(F.col("source")),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/Docs/"),
+            F.col("doc_id"),
+            F.lit("?utm_source=feed&id="),
+            F.col("doc_id"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("&ref=social")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    return messy.select(
+        "doc_id", canonical_url(F.col("url")).alias("canon")
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (functions/text.redact_pii): the corpus text is
     synthetic and clean, so deterministic PII (an email, a phone, an
@@ -1574,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "token_packing": q_token_packing,
         "pii_scrub": q_pii_scrub,
+        "canonical_url": q_canonical_url,
         "contamination": q_contamination,
         "embedding_near_dup": q_embedding_near_dup,
         "pricing_summary": q_pricing_summary,
@@ -2256,6 +2297,52 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
               )
             )
+        """,
+        "canonical_url": r"""
+            WITH messy AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                      ELSE 'http://' END)
+                || upper(substr(source, 1, 1)) || substr(source, 2)
+                || '.Example.COM'
+                || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+                || '/Docs/' || doc_id
+                || '?utm_source=feed&id=' || doc_id
+                || (CASE WHEN doc_id % 2 = 0 THEN '&ref=social'
+                         ELSE '' END)
+                || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+                  AS url
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id, regexp_replace(url, '#.*$', '') AS u
+              FROM messy
+            ),
+            s2 AS (
+              SELECT doc_id, u,
+                     regexp_extract(u, '^[^/]+://[^/?#]*', 0) AS pre
+              FROM s1
+            ),
+            s3 AS (
+              SELECT doc_id, lower(pre) AS p,
+                     substr(u, len(pre) + 1) AS rest
+              FROM s2
+            ),
+            s4 AS (
+              SELECT doc_id,
+                CASE WHEN starts_with(p, 'http://') AND ends_with(p, ':80')
+                     THEN substr(p, 1, len(p) - 3)
+                     WHEN starts_with(p, 'https://') AND ends_with(p, ':443')
+                     THEN substr(p, 1, len(p) - 4)
+                     ELSE p END AS p,
+                regexp_replace(
+                  regexp_replace(rest,
+                    '(?:utm_[^=&#]*|ref|fbclid|gclid)=[^&#]*(?:&|$)',
+                    '', 'g'),
+                  '[?&]+$', '') AS r
+              FROM s3
+            )
+            SELECT doc_id, p || r AS canon FROM s4
         """,
         "pii_scrub": r"""
             WITH planted AS (

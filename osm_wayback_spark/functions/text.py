@@ -204,3 +204,45 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(F.size(w) >= n, acc).otherwise(F.array(F.concat_ws(" ", w)))
     )
+
+
+# tracking params removed by canonical_url; the pattern set is kept
+# to the Java-regex / RE2 common subset (non-capturing groups only —
+# no backreferences, no lookaround) so the DuckDB oracle applies the
+# SAME patterns
+_TRACKING = r"(?:utm_[^=&#]*|ref|fbclid|gclid)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-dedup URL canonicalization (pure column math):
+
+    1. strip the fragment;
+    2. lowercase the scheme://host[:port] prefix (path/query case is
+       preserved — it is significant on most servers);
+    3. drop default ports (http:80, https:443) — via CASE + string
+       ops, not regex backreferences (RE2 has no lookbehind and
+       replacement syntax differs between engines, so the oracle
+       mirrors this step exactly);
+    4. remove tracking parameters (utm_*, ref, fbclid, gclid) and
+       clean the leftover '?'/'&' tail.
+
+    Two URLs canonicalizing equal are crawl-duplicates in every
+    pipeline that keys fetch dedup on the URL."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    prefix = F.regexp_extract(u, r"^[^/]+://[^/?#]*", 0)
+    rest = F.substring(u, F.length(prefix) + 1, F.lit(2_000_000_000))
+    p = F.lower(prefix)
+    p = (
+        F.when(
+            p.startswith("http://") & p.endswith(":80"),
+            F.substring(p, 1, F.length(p) - 3),
+        )
+        .when(
+            p.startswith("https://") & p.endswith(":443"),
+            F.substring(p, 1, F.length(p) - 4),
+        )
+        .otherwise(p)
+    )
+    r = F.regexp_replace(rest, _TRACKING + r"(?:&|$)", "")
+    r = F.regexp_replace(r, r"[?&]+$", "")
+    return F.concat(p, r)

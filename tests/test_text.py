@@ -190,3 +190,31 @@ def test_pii_count_and_redact(spark):
     assert out[4].t == docs.filter("doc_id=4").first().text
     # email-first ordering: user@10.0.0.1 is ONE email, not an IP
     assert out[5].t == "<EMAIL> logged in from <IP>"
+
+
+def test_canonical_url(spark):
+    from pyspark.sql import functions as F
+
+    from osm_wayback_spark.functions.text import canonical_url
+
+    cases = {
+        "HtTpS://WWW.Ex.COM:443/Docs/9?utm_source=a&id=9&ref=x#frag":
+            "https://www.ex.com/Docs/9?id=9",
+        "http://Host.com:80/p?a=1&utm_b=2&b=3": "http://host.com/p?a=1&b=3",
+        "https://h.io/p?utm_x=1": "https://h.io/p",
+        # bare 'utm' (no underscore) is NOT a tracking param
+        "https://h.io/p?ref=1&utm=2": "https://h.io/p?utm=2",
+        # non-default port and path case preserved
+        "http://h.io:8080/Keep?x=1": "http://h.io:8080/Keep?x=1",
+        # :443 on http is NOT default — kept
+        "http://h.io:443/p": "http://h.io:443/p",
+        "https://h.io/p?fbclid=abc&gclid=q": "https://h.io/p",
+        "ftp://H.IO/path#x": "ftp://h.io/path",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {
+        r.u: r.c
+        for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
