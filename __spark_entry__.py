@@ -1202,6 +1202,10 @@ def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 2 == 0, F.lit("&ref=social")).otherwise(
                 F.lit("")
             ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("&href=h"), F.col("doc_id")),
+            ).otherwise(F.lit("")),
             F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(
                 F.lit("")
             ),
@@ -2380,6 +2384,8 @@ def oracle_sql() -> dict[str, str]:
                 || '?utm_source=feed&id=' || doc_id
                 || (CASE WHEN doc_id % 2 = 0 THEN '&ref=social'
                          ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0 THEN '&href=h' || doc_id
+                         ELSE '' END)
                 || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
                   AS url
               FROM documents
@@ -2406,9 +2412,19 @@ def oracle_sql() -> dict[str, str]:
                      THEN substr(p, 1, len(p) - 4)
                      ELSE p END AS p,
                 regexp_replace(
-                  regexp_replace(rest,
-                    '(?:utm_[^=&#]*|ref|fbclid|gclid)=[^&#]*(?:&|$)',
-                    '', 'g'),
+                  CASE WHEN instr(rest, '?') = 0 THEN rest
+                       ELSE substr(rest, 1, instr(rest, '?') - 1)
+                            || '?'
+                            || array_to_string(
+                                 list_filter(
+                                   string_split(
+                                     substr(rest, instr(rest, '?') + 1),
+                                     '&'),
+                                   x -> NOT regexp_matches(
+                                     x,
+                                     '^(?:utm_[^=&#]*|ref|fbclid|gclid)=')),
+                                 '&')
+                  END,
                   '[?&]+$', '') AS r
               FROM s3
             )

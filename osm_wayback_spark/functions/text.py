@@ -206,11 +206,14 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-# tracking params removed by canonical_url; the pattern set is kept
-# to the Java-regex / RE2 common subset (non-capturing groups only —
-# no backreferences, no lookaround) so the DuckDB oracle applies the
-# SAME patterns
-_TRACKING = r"(?:utm_[^=&#]*|ref|fbclid|gclid)=[^&#]*"
+# tracking params removed by canonical_url: a param is dropped iff
+# its NAME (the text between the '?'/'&' delimiter and the '=')
+# matches one of these, anchored — an unanchored match would fire
+# inside other names ('href=', 'pref=') and merge distinct URLs.
+# The pattern is kept to the Java-regex / RE2 common subset
+# (non-capturing groups only — no backreferences, no lookaround) so
+# the DuckDB oracle applies the SAME pattern
+_TRACKING_NAME = r"^(?:utm_[^=&#]*|ref|fbclid|gclid)="
 
 
 def canonical_url(url: Column) -> Column:
@@ -223,8 +226,11 @@ def canonical_url(url: Column) -> Column:
        ops, not regex backreferences (RE2 has no lookbehind and
        replacement syntax differs between engines, so the oracle
        mirrors this step exactly);
-    4. remove tracking parameters (utm_*, ref, fbclid, gclid) and
-       clean the leftover '?'/'&' tail.
+    4. remove tracking parameters (utm_*, ref, fbclid, gclid) by
+       splitting the query on '&' and filtering on the ANCHORED
+       param name — never a substring regex over the whole query,
+       which would also hit 'href='/'pref=' — then clean the
+       leftover '?'/'&' tail.
 
     Two URLs canonicalizing equal are crawl-duplicates in every
     pipeline that keys fetch dedup on the URL."""
@@ -243,6 +249,17 @@ def canonical_url(url: Column) -> Column:
         )
         .otherwise(p)
     )
-    r = F.regexp_replace(rest, _TRACKING + r"(?:&|$)", "")
+    qpos = F.instr(rest, "?")
+    path = F.when(qpos > 0, F.substring(rest, F.lit(1), qpos - 1)).otherwise(
+        rest
+    )
+    query = F.when(
+        qpos > 0, F.substring(rest, qpos + 1, F.lit(2_000_000_000))
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"), lambda x: ~x.rlike(_TRACKING_NAME)
+    )
+    r = F.when(qpos > 0, F.concat(path, F.lit("?"), F.array_join(kept, "&")))
+    r = r.otherwise(path)
     r = F.regexp_replace(r, r"[?&]+$", "")
     return F.concat(p, r)

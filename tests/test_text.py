@@ -210,6 +210,16 @@ def test_canonical_url(spark):
         "http://h.io:443/p": "http://h.io:443/p",
         "https://h.io/p?fbclid=abc&gclid=q": "https://h.io/p",
         "ftp://H.IO/path#x": "ftp://h.io/path",
+        # param-name match is ANCHORED: 'ref='/'utm_' inside OTHER
+        # names (href=, pref=) must not fire — the unanchored form
+        # canonicalized '?href=foo&a=b' to '?ha=b' (wrongful merges)
+        "https://h.io/p?href=foo&a=b": "https://h.io/p?href=foo&a=b",
+        "https://h.io/p?pref=1&x=2": "https://h.io/p?pref=1&x=2",
+        # tracking param FIRST in the query: the next param takes
+        # over the '?' slot, no dangling '&'
+        "https://h.io/p?ref=1&a=2": "https://h.io/p?a=2",
+        # empty query tail still trimmed
+        "https://h.io/p?": "https://h.io/p",
     }
     df = spark.createDataFrame([(k,) for k in cases], "u string")
     got = {
