@@ -484,20 +484,29 @@ def main() -> None:
     # quiet-epoch machinery.)
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_PASSES", "2"))
 
-    def best_of(fn) -> float:
-        best = None
+    # round-6 (r5 verdict item 8): every timed pass is kept, not just
+    # the min — the r5 driver/builder wall discrepancies were only
+    # diagnosable by cross-referencing BASELINE prose; the raw arrays
+    # make each recorded wall self-explaining (a quiet-vs-noisy pass
+    # split is visible in the artifact itself).
+    raw: dict[str, list[float]] = {}
+
+    def best_of(fn, name: str) -> float:
+        walls = []
         for _ in range(passes):
             t1 = time.time()
             fn()
-            w = time.time() - t1
-            best = w if best is None or w < best else best
-        return round(best, 3)
+            walls.append(round(time.time() - t1, 3))
+        raw[name] = walls
+        return min(walls)
 
     t0 = time.time()
     n_pages, n_tiles, wall = core_job(spark)
+    raw["pipeline_e2e"] = [round(wall, 3)]
     for _ in range(passes - 1):
         spark.catalog.clearCache()
         n_pages, n_tiles, w2 = core_job(spark)
+        raw["pipeline_e2e"].append(round(w2, 3))
         wall = min(wall, w2)
     timings["pipeline_e2e"] = round(wall, 3)
     extras["pages_per_sec"] = round(n_pages / wall, 1)
@@ -544,7 +553,9 @@ def main() -> None:
     ]
     qs = entrymod.queries()
     for name in bench_queries:
-        timings[name] = best_of(lambda: qs[name](spark, SF_DIR).count())
+        timings[name] = best_of(
+            lambda: qs[name](spark, SF_DIR).count(), name
+        )
     # minhash fast-hash path: native xxhash64 (JVM int64 min) vs the
     # md5 hex default — md5 exists only for DuckDB oracle parity, so
     # this is the production configuration's wall number
@@ -552,7 +563,8 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timings["minhash_signatures_xxh"] = best_of(
-        lambda: _mh(docs, num_hashes=4, hash_fn="xxhash64").count()
+        lambda: _mh(docs, num_hashes=4, hash_fn="xxhash64").count(),
+        "minhash_signatures_xxh",
     )
     # winnowing fast-hash path: int64 window minima instead of
     # 32-char hex (same guarantee, different sampled fingerprints;
@@ -560,7 +572,8 @@ def main() -> None:
     from osm_wayback_spark.operators.dedup import winnow_pairs as _wp
 
     timings["winnow_pairs_xxh"] = best_of(
-        lambda: _wp(docs, k=24, w=12, hash_fn="xxhash64").count()
+        lambda: _wp(docs, k=24, w=12, hash_fn="xxhash64").count(),
+        "winnow_pairs_xxh",
     )
     # tolerant-parse extraction (r4 verdict item 7): the real-crawl
     # configuration — lxml/stdlib HTML parse instead of the exact
@@ -569,7 +582,7 @@ def main() -> None:
 
     pages = _pages_cache(spark)
     timings["extract_tolerant"] = best_of(
-        lambda: _ev(pages, tolerant=True).count()
+        lambda: _ev(pages, tolerant=True).count(), "extract_tolerant"
     )
     # hot-key stress: the salted-vs-plain collect carries a wall
     # number, not just a pytest equivalence (one 150K-version id)
@@ -578,23 +591,50 @@ def main() -> None:
     # one-call corpus dedup, lazy vs the single-scan staged lever
     # (round-5): the lazy DAG re-runs tokenize+shingle ~4x; staging
     # the (doc_id, md5, shingles) table pays one write and wins even
-    # at bench scale (measured 30.9 -> 18.0 s at sf0.1). Comparative
-    # pair, adjacent in time, single pass each (like the skew pair).
+    # at bench scale (builder-measured 1.3-1.65x at sf0.1). Round-6
+    # (r5 verdict item 2): the r5 driver artifact showed the pair
+    # ~tying on single passes, so the lever is now evidenced the
+    # noise-hard way — best-of-N passes per variant, AND the staged
+    # side split into its two physical phases (stage-table write /
+    # downstream read via stage_reuse) so the artifact shows where
+    # the staged wall goes instead of one opaque number.
     import shutil as _sh2
     import tempfile as _tf2
 
-    from osm_wayback_spark.operators.dedup import dedupe_corpus as _ddc
+    from osm_wayback_spark.operators.dedup import (
+        dedupe_corpus as _ddc,
+        stage_corpus as _stg,
+    )
 
-    t1 = time.time()
-    _ddc(docs, num_hashes=8, threshold=0.3).count()
-    timings["dedupe_corpus_lazy"] = round(time.time() - t1, 3)
-    _stage = _tf2.mkdtemp(prefix="bench_dedup_stage_")
-    try:
-        t1 = time.time()
-        _ddc(docs, num_hashes=8, threshold=0.3, stage_dir=_stage).count()
-        timings["dedupe_corpus_staged"] = round(time.time() - t1, 3)
-    finally:
-        _sh2.rmtree(_stage, ignore_errors=True)
+    timings["dedupe_corpus_lazy"] = best_of(
+        lambda: _ddc(docs, num_hashes=8, threshold=0.3).count(),
+        "dedupe_corpus_lazy",
+    )
+    writes, reads = [], []
+    for _ in range(passes):
+        _stage = _tf2.mkdtemp(prefix="bench_dedup_stage_")
+        try:
+            t1 = time.time()
+            _stg(docs, _stage)
+            writes.append(round(time.time() - t1, 3))
+            t1 = time.time()
+            _ddc(
+                docs, num_hashes=8, threshold=0.3,
+                stage_dir=_stage, stage_reuse=True,
+            ).count()
+            reads.append(round(time.time() - t1, 3))
+        finally:
+            _sh2.rmtree(_stage, ignore_errors=True)
+    raw["dedupe_corpus_stage_write"] = writes
+    raw["dedupe_corpus_staged_read"] = reads
+    timings["dedupe_corpus_stage_write"] = min(writes)
+    timings["dedupe_corpus_staged_read"] = min(reads)
+    # total comparable to lazy: min over SAME-pass (write+read) sums,
+    # not min(write)+min(read) — a pass is one coherent noise window
+    raw["dedupe_corpus_staged"] = [
+        round(a + b, 3) for a, b in zip(writes, reads)
+    ]
+    timings["dedupe_corpus_staged"] = min(raw["dedupe_corpus_staged"])
     if os.environ.get("SPARK_GRAFT_BENCH_STAGED", "0") == "1":
         # the resumable production shape (per-stage parquet
         # checkpoints) timed end-to-end from a cold checkpoint dir
@@ -680,6 +720,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # every raw timed pass behind each min-combined wall above
+        "queries_passes": raw,
         "sf": sf,
         **extras,
     }

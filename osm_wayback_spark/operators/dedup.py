@@ -535,6 +535,27 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def _stage_exists(path: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def stage_corpus(documents: DataFrame, stage_dir: str, n: int = 3) -> str:
+    """The single full-text scan behind ``dedupe_corpus(stage_dir=)``:
+    write the compact (doc_id, md5(text), shingle-array) table —
+    raw text dropped — that every downstream dedup stage reads.
+    Factored out so the stage write and the downstream read can be
+    run (and timed) independently; returns the table path."""
+    path = f"{stage_dir}/dedup_stage.parquet"
+    documents.select(
+        "doc_id",
+        F.md5("text").alias("_h"),
+        shingles(F.col("text"), n).alias("_sh"),
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
 def dedupe_corpus(
     documents: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -545,6 +566,7 @@ def dedupe_corpus(
     max_bucket: int | None = None,
     algorithm: str = "minlabel",
     stage_dir: str | None = None,
+    stage_reuse: bool = False,
 ) -> DataFrame:
     """One-call training-corpus dedup: exact + near-dup in a single
     labeled table → (doc_id, keep_id, is_exact_dup, component,
@@ -568,15 +590,18 @@ def dedupe_corpus(
     (doc_id, md5(text), shingle-array) table to
     ``<stage_dir>/dedup_stage.parquet`` (the raw text column is
     DROPPED) and every downstream stage reads that columnar table
-    instead. Results are identical (pytest-pinned)."""
+    instead. Results are identical (pytest-pinned).
+
+    ``stage_reuse``: resumability — when the stage table already
+    exists (``_SUCCESS`` present), read it instead of rewriting. A
+    restarted 100 TB dedup job skips its most expensive pass; it is
+    also how the bench times the stage write and the downstream read
+    as separate walls."""
     if stage_dir is not None:
         spark = documents.sparkSession
         path = f"{stage_dir}/dedup_stage.parquet"
-        documents.select(
-            "doc_id",
-            F.md5("text").alias("_h"),
-            shingles(F.col("text"), n).alias("_sh"),
-        ).write.mode("overwrite").parquet(path)
+        if not (stage_reuse and _stage_exists(path)):
+            stage_corpus(documents, stage_dir, n=n)
         staged = spark.read.parquet(path)
         exact = _exact_from_keyed(
             staged.select("doc_id", F.col("_h").alias("h"))

@@ -330,6 +330,32 @@ def test_dedupe_corpus_staged_equals_lazy(spark, tmp_path):
     assert st.count() == docs.count()
 
 
+def test_dedupe_corpus_stage_reuse(spark, tmp_path):
+    """stage_reuse resumes from an existing stage table instead of
+    rewriting it (restart lever; also the bench's split-timing path):
+    identical output, and the staged parquet is NOT rewritten."""
+    import os
+
+    from osm_wayback_spark.operators.dedup import dedupe_corpus, stage_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = stage_corpus(docs, str(tmp_path))
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    key = lambda r: r.doc_id  # noqa: E731
+    reused = sorted(
+        dedupe_corpus(
+            docs, num_hashes=8, threshold=0.3,
+            stage_dir=str(tmp_path), stage_reuse=True,
+        ).collect(),
+        key=key,
+    )
+    lazy = sorted(
+        dedupe_corpus(docs, num_hashes=8, threshold=0.3).collect(), key=key
+    )
+    assert reused == lazy
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+
+
 def test_jaccard_pairs_staged_shingles_parity(spark, docs):
     """jaccard_pairs(shingled=...) over a pre-shingled frame must
     equal the raw-text path (the dedupe_corpus stage table shape)."""
