@@ -419,18 +419,47 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _ivf_train_data(embeddings: DataFrame, max_train: int | None) -> DataFrame:
+    """Bounded deterministic training set: corpora larger than
+    ``max_train`` train on the rows with the smallest md5(vec_id) —
+    the same pseudo-random spread as ``_init_centroids``, identical
+    on re-runs and invariant to partitioning. Returns ``embeddings``
+    unchanged when it already fits (so small-corpus results are
+    bit-identical with or without the cap)."""
+    if max_train is None or embeddings.count() <= max_train:
+        return embeddings
+    return (
+        embeddings.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(max_train)
+        .drop("_h")
+    )
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
     iters: int = 3,
     sample_fraction: float | None = None,
     spherical: bool = True,
+    max_train: int | None = 100_000,
 ) -> np.ndarray:
     """Lloyd's k-means, Spark-native: per iteration one pass assigns
     every vector to its nearest centroid (vectorized Arrow matmul),
     then a posexplode + groupBy computes per-dimension means — the
-    only driver traffic is the (n_centroids × dim) table. At 100 TB
-    train on a sample (``sample_fraction``); assignment stays exact.
+    only driver traffic is the (n_centroids × dim) table.
+
+    Training is SAMPLE-BOUNDED BY DEFAULT (``max_train``, the same
+    protocol ``train_pq_codebooks`` has always used): a quantizer
+    needs a representative sample, not the corpus, and the full-pass
+    default was the one path where each k-means iteration posexploded
+    corpus×dim rows into a groupBy — at 10^12 vectors the
+    scale-killer. Corpora ≤ ``max_train`` are unaffected
+    (bit-identical centroids); the capped training set is persisted
+    across iterations (≤ max_train rows, never the corpus).
+    Full-corpus training is the explicit opt-in ``max_train=None``.
+    ``sample_fraction`` (fraction-based sampling) takes precedence
+    when set. Assignment of the full corpus stays exact either way.
 
     ``spherical`` (default): k-means on the UNIT SPHERE — vectors and
     centroids normalized, centroid = normalize(mean of unit members).
@@ -443,8 +472,14 @@ def train_ivf_centroids(
     nprobe=6/16).
     """
     data = embeddings
+    persisted = False
     if sample_fraction:
         data = data.sample(fraction=sample_fraction, seed=42)
+    else:
+        data = _ivf_train_data(data, max_train)
+        if data is not embeddings:
+            data = data.persist()
+            persisted = True
     centroids = _init_centroids(data, n_centroids)
     if spherical:
         centroids = _unit_rows(centroids)
@@ -470,6 +505,8 @@ def train_ivf_centroids(
         for r in means:
             new[r.cell, r.dim] = r.m
         centroids = _unit_rows(new) if spherical else new
+    if persisted:
+        data.unpersist()
     return centroids
 
 
@@ -578,6 +615,7 @@ def write_ivf_index(
     iters: int = 3,
     sample_fraction: float | None = None,
     spherical: bool = True,
+    max_train: int | None = 100_000,
 ) -> np.ndarray:
     """Train-once IVF index materialization (the production path —
     training and corpus assignment are paid per index BUILD, not per
@@ -601,7 +639,8 @@ def write_ivf_index(
     import json as _json
 
     centroids = train_ivf_centroids(
-        embeddings, n_centroids, iters, sample_fraction, spherical
+        embeddings, n_centroids, iters, sample_fraction, spherical,
+        max_train=max_train,
     )
     assigned = with_ivf_cell(embeddings, centroids, spherical)
     assigned.select("vec_id", "cell").write.mode("overwrite").partitionBy(

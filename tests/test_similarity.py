@@ -116,6 +116,44 @@ def test_ivf_centroids_deterministic(spark):
     assert np.allclose(a, b)
 
 
+def test_ivf_training_default_is_sample_bounded(spark):
+    """The r5 scale-killer: train_ivf_centroids defaulted to
+    FULL-corpus Lloyd's (corpus×dim posexplode per iteration). The
+    default is now a max_train cap (full pass = explicit opt-in
+    max_train=None): the training set is ≤ max_train rows,
+    deterministic, partition-invariant, and corpora under the cap are
+    bit-identical to the uncapped path."""
+    import numpy as np
+
+    from osm_wayback_spark.operators.similarity import (
+        _ivf_train_data,
+        train_ivf_centroids,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = df.count()
+    assert n > 50
+    capped = _ivf_train_data(df, 50)
+    assert capped.count() == 50
+    # deterministic + partition-invariant selection
+    ids = sorted(r.vec_id for r in capped.select("vec_id").collect())
+    ids2 = sorted(
+        r.vec_id
+        for r in _ivf_train_data(df.repartition(7), 50)
+        .select("vec_id")
+        .collect()
+    )
+    assert ids == ids2
+    # under the cap → the corpus itself (bit-identical centroids)
+    assert _ivf_train_data(df, n) is df
+    # capped training still yields usable unit centroids
+    cents = train_ivf_centroids(df, n_centroids=4, iters=2, max_train=50)
+    assert cents.shape[0] == 4
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    # no persisted frame outlives the call
+    assert not spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
 def test_near_dup_candidates_recall_and_plan(spark):
     """The LSH-candidate near-dup path (the scale shape replacing the
     all-pairs theta join): recall vs the exact all-pairs set must be
