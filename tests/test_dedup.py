@@ -494,6 +494,62 @@ def test_winnow_fingerprints_matches_reference(spark):
     assert winnow_pairs(docs, k, w, max_bucket=1).count() < len(pairs) + 1
 
 
+def test_winnow_chunked_equals_unchunked(spark):
+    """chunk_chars bounds per-row hash-array memory by slicing long
+    texts with a w+k-2 overlap; every hash window of the unchunked
+    text exists in some chunk, so the fingerprint set — and therefore
+    the pair set — must be IDENTICAL. Forced to many chunks per doc
+    (chunk_chars barely above the 2*(k+w-1) minimum) on the real
+    sf0.001 documents plus adversarial synthetics whose shared run
+    straddles chunk boundaries."""
+    from osm_wayback_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    k, w = 8, 4
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    run = "the exact shared verbatim paragraph both documents carry "
+    synth = spark.createDataFrame(
+        [
+            (100_000, ("x" * 37 + " ") * 40 + run * 3 + "tail a"),
+            (100_001, ("y" * 23 + " ") * 55 + run * 3 + "tail b"),
+            (100_002, "entirely unrelated filler " * 60),
+        ],
+        "doc_id long, text string",
+    )
+    docs = real.select("doc_id", "text").unionByName(synth)
+    for hash_fn in ("md5", "xxhash64"):
+        unchunked = {
+            (r.doc_id, r.fp)
+            for r in winnow_fingerprints(
+                docs, k, w, hash_fn=hash_fn, chunk_chars=None
+            ).collect()
+        }
+        chunked = {
+            (r.doc_id, r.fp)
+            for r in winnow_fingerprints(
+                docs, k, w, hash_fn=hash_fn, chunk_chars=2 * (k + w - 1)
+            ).collect()
+        }
+        assert chunked == unchunked, hash_fn
+    p_un = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_pairs(docs, k, w, chunk_chars=None).collect()
+    }
+    p_ch = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_pairs(docs, k, w, chunk_chars=30).collect()
+    }
+    assert p_ch == p_un
+    assert (100_000, 100_001) in p_ch
+    # the guard: a chunk too small to hold two windows is an error
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, k, w, chunk_chars=k + w).collect()
+
+
 def test_winnow_xxhash_path_keeps_guarantee(spark):
     from osm_wayback_spark.operators.dedup import winnow_pairs
 
