@@ -719,7 +719,19 @@ def dedupe_increment(
     cands = (
         bk_new.join(bk_c, ["band", "bh"]).select("doc_a", "doc_b").distinct()
     )
-    sh = doc_shingles(new_docs, n).unionByName(doc_shingles(corpus_docs, n))
+    # the Jaccard verify only needs shingles for docs that are
+    # actually candidates, and the candidate set is |new|-bounded —
+    # so LEFT SEMI the corpus on cands.doc_b BEFORE the shingle
+    # explode (r5 verdict item 6: the old full-corpus explode was
+    # correct but corpus-bounded at 100 TB). The candidate subplan
+    # appears twice (semi filter + verify pairs); its shuffles
+    # dedupe via ReusedExchange (PLANS.md-audited).
+    corpus_cand = corpus_docs.join(
+        cands.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    sh = doc_shingles(new_docs, n).unionByName(doc_shingles(corpus_cand, n))
     near = (
         _verify_jaccard(cands, sh, threshold)
         .select("doc_a")

@@ -232,6 +232,11 @@ def main() -> None:
             "screen joins NEW buckets against CORPUS buckets (candidate "
             "growth |new|-bounded, not |corpus|^2), with the corpus-side "
             "hot-bucket cap and Jaccard verify over candidates only",
+            "the verify-side shingle explode sees ONLY corpus docs that "
+            "are candidates: LeftSemi on cands.doc_b sits ABOVE the "
+            "corpus scan and BELOW the explode (r5 item 6), so the "
+            "verify shuffle is |candidates|-bounded; the repeated "
+            "candidate subplan dedupes via ReusedExchange",
         ],
     )
     add(
