@@ -1,24 +1,27 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
 The Spark-side machinery — schema (schemas.MEDIA), Arrow batch shape,
-partitioning, UDF signatures — is real and tested; the actual media
-decode probes for Pillow at call time:
+partitioning, UDF signatures — is real and tested, and so is the
+decode for the formats a dependency-free environment can carry:
 
-- ``decode_image`` decodes with PIL when it's importable (the real
-  code path, tested when the optional dependency is present) and
-  raises NotImplementedError otherwise, marking exactly where a
-  libvips/turbojpeg kernel plugs in;
-- ``decode_features`` produces a deterministic fake feature vector
-  derived from the payload bytes (md5-seeded), so downstream joins /
-  ANN over media embeddings are exercised end-to-end even without an
-  imaging library. Pass ``use_pil=True`` to swap in mean-pooled
-  pixel features from the real decode.
+- ``decode_image`` decodes PPM (P6 binary / P3 ascii) and
+  uncompressed 24-bit BMP with the pure-Python/numpy parsers below —
+  always available, no imaging library — and uses Pillow when it IS
+  importable (which additionally covers PNG/JPEG/...). Formats
+  neither path handles raise NotImplementedError, marking exactly
+  where a libvips/turbojpeg kernel plugs in.
+- ``decode_features(real=True)`` runs the real pixel kernel
+  (mean-pooled grayscale) through the Arrow plumbing; the default is
+  a deterministic md5-seeded fake so downstream joins / ANN over
+  media embeddings are exercised even on payloads of undecodable
+  formats.
 """
 
 from __future__ import annotations
 
 import hashlib
 import io
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -38,25 +41,103 @@ def _pil():
     return Image
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Decode an image payload → (H, W, C) uint8 array. Uses Pillow
-    when installed (the real path); otherwise raises — the
-    deterministic ``decode_features`` stub keeps downstream plumbing
-    exercised in imaging-library-free environments."""
-    image_mod = _pil()
-    if image_mod is None:
-        raise NotImplementedError(
-            "media decode requires an imaging library not present in "
-            "this environment; use decode_features (deterministic "
-            "stub) instead"
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-Python netpbm decode: P6 (binary) and P3 (ascii) → (H, W,
+    3) uint8. Header per the public spec: magic, then width/height/
+    maxval as whitespace-separated tokens with '#' comments allowed,
+    then exactly one whitespace byte before P6 pixel data."""
+    magic = payload[:2]
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        raise ValueError(f"unsupported PPM geometry {w}x{h} maxval={maxval}")
+    if magic == b"P6":
+        pos += 1  # the single whitespace byte after maxval
+        px = np.frombuffer(
+            payload, dtype=np.uint8, count=min(w * h * 3, len(payload) - pos),
+            offset=pos,
         )
-    with image_mod.open(io.BytesIO(payload)) as img:
-        return np.asarray(img.convert("RGB"))
+    else:  # P3
+        px = np.array(
+            [int(t) for t in payload[pos:].split()[: w * h * 3]],
+            dtype=np.uint8,
+        )
+    if px.size != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    if maxval != 255:
+        px = (px.astype(np.float64) * (255.0 / maxval)).round().astype(np.uint8)
+    return px.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-Python BMP decode: uncompressed (BI_RGB) 24-bit only →
+    (H, W, 3) uint8. Rows are 4-byte padded, stored BGR, bottom-up
+    when the header height is positive (the common form)."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is built in (got bpp={bpp}, "
+            f"compression={comp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP geometry {w}x{h}")
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an image payload → (H, W, C) uint8 array. Pillow when
+    installed (covers PNG/JPEG/...); the built-in pure-Python PPM/BMP
+    decoders otherwise — so the real-decode path executes in
+    dependency-free environments too. Anything else raises, marking
+    where a native decode kernel plugs in."""
+    image_mod = _pil()
+    if image_mod is not None:
+        with image_mod.open(io.BytesIO(payload)) as img:
+            return np.asarray(img.convert("RGB"))
+    if payload[:2] in (b"P6", b"P3"):
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "payload format requires an imaging library not present in this "
+        "environment (built-in decoders cover PPM P6/P3 and 24-bit BMP); "
+        "use decode_features (deterministic stub) instead"
+    )
 
 
 def _pixel_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Real feature kernel (requires Pillow): mean-pooled grayscale
-    over a dim-bucket grid, normalized to [-1, 1]."""
+    """Real feature kernel: mean-pooled grayscale over a dim-bucket
+    grid, normalized to [-1, 1]."""
     arr = decode_image(payload).mean(axis=2)  # grayscale
     h, w = arr.shape
     cells = np.array_split(arr.reshape(h * w), dim)
@@ -75,15 +156,16 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def decode_features(
-    media: DataFrame, dim: int = FEATURE_DIM, use_pil: bool = False
+    media: DataFrame, dim: int = FEATURE_DIM, real: bool = False
 ) -> DataFrame:
     """media(media_id, kind, payload, ...) → (media_id, kind,
     features array<float>) via an Arrow-batched kernel — the real
-    plumbing a decode/resize/frame-sample op would use. With
-    ``use_pil`` the features are mean-pooled pixels from the real
-    Pillow decode (raises where Pillow is absent); default is the
-    deterministic md5 stub."""
-    extract = _pixel_features if use_pil else _fake_features
+    plumbing a decode/resize/frame-sample op would use. With ``real``
+    the features are mean-pooled pixels from ``decode_image`` (Pillow
+    or the built-in PPM/BMP decoders; raises on formats neither
+    handles); default is the deterministic md5 stub, which accepts
+    any payload."""
+    extract = _pixel_features if real else _fake_features
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

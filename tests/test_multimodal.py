@@ -1,5 +1,13 @@
-"""Multimodal binary-column plumbing (decode stubbed)."""
+"""Multimodal binary-column plumbing + built-in real decode.
 
+The PPM/BMP decoders are pure-Python, so the REAL pixel path runs in
+this dependency-free environment (no skips); where Pillow happens to
+be installed, decode_image must agree with it byte-for-byte.
+"""
+
+import struct
+
+import numpy as np
 import pytest
 
 from osm_wayback_spark.operators.multimodal import (
@@ -9,6 +17,38 @@ from osm_wayback_spark.operators.multimodal import (
     frame_sample_plan,
 )
 from osm_wayback_spark.schemas import MEDIA
+
+
+def ppm6(w, h, pixels, maxval=255, comment=False):
+    """Encode (H, W, 3) uint8 → binary P6 bytes (independent of the
+    decoder under test)."""
+    hdr = b"P6\n"
+    if comment:
+        hdr += b"# a comment line\n"
+    hdr += f"{w} {h}\n{maxval}\n".encode()
+    return hdr + np.asarray(pixels, dtype=np.uint8).tobytes()
+
+
+def ppm3(w, h, pixels, maxval=255):
+    body = " ".join(str(int(v)) for v in np.asarray(pixels).reshape(-1))
+    return f"P3\n{w} {h} {maxval}\n{body}\n".encode()
+
+
+def bmp24(pixels):
+    """Encode (H, W, 3) RGB uint8 → uncompressed bottom-up 24-bit BMP
+    bytes (BGR rows, 4-byte padded) — the standard layout."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y, :, ::-1].tobytes()  # RGB → BGR
+        rows += row + b"\x00" * (stride - len(row))
+    off = 54
+    size = off + len(rows)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    return header + dib + rows
 
 
 @pytest.fixture(scope="module")
@@ -21,55 +61,82 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA)
 
 
-def test_decode_image_probe():
-    """decode_image is the REAL path when Pillow is installed and a
-    clean NotImplementedError otherwise (environmental stub)."""
+def test_decode_image_ppm_binary_and_ascii():
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    assert (decode_image(ppm6(4, 3, px)) == px).all()
+    assert (decode_image(ppm6(4, 3, px, comment=True)) == px).all()
+    assert (decode_image(ppm3(4, 3, px)) == px).all()
+    # maxval scaling: maxval=100 → full scale maps to 255, half to ~127
+    half = np.full((2, 2, 3), 50, dtype=np.uint8)
+    half[0, 0] = [100, 0, 100]
+    out = decode_image(ppm6(2, 2, half, maxval=100))
+    assert list(out[0, 0]) == [255, 0, 255]
+    assert abs(int(out[1, 1, 0]) - 127.5) <= 0.5
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n4 3\n255\n\x00\x01")  # truncated pixels
+
+
+def test_decode_image_bmp():
+    px = np.zeros((3, 3, 3), dtype=np.uint8)
+    px[0, 0] = [255, 0, 0]   # top-left red
+    px[2, 2] = [0, 0, 255]   # bottom-right blue
+    out = decode_image(bmp24(px))
+    assert out.shape == (3, 3, 3)
+    assert (out == px).all()  # row order + BGR→RGB + padding all undone
+    with pytest.raises(NotImplementedError):
+        # 8-bit BMP is not built in
+        bad = bytearray(bmp24(px))
+        struct.pack_into("<H", bad, 28, 8)
+        decode_image(bytes(bad))
+
+
+def test_decode_image_unknown_format_raises():
     from osm_wayback_spark.operators.multimodal import _pil
 
     if _pil() is None:
         with pytest.raises(NotImplementedError):
-            decode_image(b"anything")
+            decode_image(b"\x89PNG not really decodable")
     else:
-        import io
-
-        img = _pil().new("RGB", (4, 3), (10, 20, 30))
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        arr = decode_image(buf.getvalue())
-        assert arr.shape == (3, 4, 3)
-        assert (arr == [10, 20, 30]).all()
+        # Pillow path must agree with the built-in decoders
+        px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+        assert (decode_image(ppm6(4, 3, px)) == px).all()
+        assert (decode_image(bmp24(px)) == px).all()
 
 
-@pytest.mark.skipif(
-    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
-    reason="Pillow not installed",
-)
 def test_pixel_features_real_decode(spark):
-    """The use_pil feature kernel end-to-end over real PNG payloads
-    (runs only where the optional Pillow dependency is present)."""
-    import io
-
-    from osm_wayback_spark.operators.multimodal import _pil
-    from osm_wayback_spark.schemas import MEDIA
-
-    def png(gray):
-        img = _pil().new("L", (8, 8), gray)
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        return buf.getvalue()
-
+    """The real=True feature kernel end-to-end over PPM payloads
+    through the Arrow plumbing — always runs, no imaging library."""
+    white = ppm6(8, 8, np.full((8, 8, 3), 255, dtype=np.uint8))
+    black = ppm6(8, 8, np.zeros((8, 8, 3), dtype=np.uint8))
     df = spark.createDataFrame(
-        [(1, "image", png(255), "image/png", 8, 8, None),
-         (2, "image", png(0), "image/png", 8, 8, None)],
+        [(1, "image", white, "image/x-portable-pixmap", 8, 8, None),
+         (2, "image", black, "image/x-portable-pixmap", 8, 8, None)],
         MEDIA,
     )
     feats = {
         r.media_id: list(r.features)
-        for r in decode_features(df, use_pil=True).collect()
+        for r in decode_features(df, real=True).collect()
     }
     assert all(len(v) == FEATURE_DIM for v in feats.values())
     assert all(abs(f - 1.0) < 0.01 for f in feats[1])   # white
     assert all(abs(f + 1.0) < 0.01 for f in feats[2])   # black
+
+
+def test_pixel_features_mixed_formats_agree(spark):
+    """The SAME image as PPM and BMP must produce identical feature
+    vectors through the distributed kernel."""
+    px = (np.indices((6, 6)).sum(axis=0) * 20).astype(np.uint8)
+    rgb = np.stack([px, px, px], axis=-1)
+    df = spark.createDataFrame(
+        [(1, "image", ppm6(6, 6, rgb), "image/x-portable-pixmap", 6, 6, None),
+         (2, "image", bmp24(rgb), "image/bmp", 6, 6, None)],
+        MEDIA,
+    )
+    feats = {
+        r.media_id: list(r.features)
+        for r in decode_features(df, real=True).collect()
+    }
+    assert feats[1] == feats[2]
 
 
 def test_decode_features_deterministic(media):
