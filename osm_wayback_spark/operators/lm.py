@@ -99,8 +99,15 @@ def lm_perplexity(
 ) -> DataFrame:
     """Score documents against a trained model → (doc_id, n_grams,
     ppl). Broadcast-joins the model; one shuffle total (the per-doc
-    aggregate)."""
+    aggregate). An empty model is an error: with v=0 the smoothing
+    denominator collapses to 0 for unseen n-grams and every ppl would
+    silently come out Infinity/NaN."""
     v = model.select(F.countDistinct("nxt")).first()[0]
+    if not v:
+        raise ValueError(
+            "lm_perplexity: model has no (prefix, nxt) rows — train on a "
+            "non-empty corpus before scoring"
+        )
     totals = model.groupBy("prefix").agg(F.sum("c_pair").alias("c_prefix"))
     grams = _exploded(docs, n, text_col)
     scored = (

@@ -153,12 +153,15 @@ def assemble_relation_geometries(asof: DataFrame) -> DataFrame:
     true assembled geometry:
 
     (id, version, ts, geometry string GeoJSON, n_members,
-    n_resolved, n_unclosed)
+    n_resolved, n_unclosed, n_unattached)
 
     geometry is a MultiPolygon (outer rings → polygons; inner rings
     attached to the FIRST polygon containing-by-bbox, the common
     simple case) or NULL when no outer ring closes. The counters make
-    degraded assemblies measurable instead of silent."""
+    degraded assemblies measurable instead of silent: n_unclosed for
+    chains that never close, n_unattached for closed inner rings
+    whose bbox no outer polygon contains (they are DROPPED from the
+    geometry — previously silently, the r5 advice finding)."""
 
     grouped = (
         asof.groupBy("id", "version", "ts")
@@ -192,6 +195,7 @@ def assemble_relation_geometries(asof: DataFrame) -> DataFrame:
                 inner_rings, unc_i = _stitch_rings(inners)
                 n_unclosed = unc_o + unc_i
                 polys = [[r] for r in outer_rings]
+                n_unattached = 0
                 for ir in inner_rings:
                     # attach to the first outer whose bbox contains it
                     ix = [p[0] for p in ir]
@@ -207,6 +211,8 @@ def assemble_relation_geometries(asof: DataFrame) -> DataFrame:
                         ):
                             poly.append(ir)
                             break
+                    else:
+                        n_unattached += 1
                 geometry = (
                     json.dumps(
                         {"type": "MultiPolygon", "coordinates": polys},
@@ -224,13 +230,14 @@ def assemble_relation_geometries(asof: DataFrame) -> DataFrame:
                         "n_members": len(members),
                         "n_resolved": n_resolved,
                         "n_unclosed": n_unclosed,
+                        "n_unattached": n_unattached,
                     }
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "id", "version", "ts", "geometry", "n_members",
-                    "n_resolved", "n_unclosed",
+                    "n_resolved", "n_unclosed", "n_unattached",
                 ],
             )
 
@@ -238,7 +245,8 @@ def assemble_relation_geometries(asof: DataFrame) -> DataFrame:
         kernel,
         schema=(
             "id long, version int, ts long, geometry string, "
-            "n_members int, n_resolved int, n_unclosed int"
+            "n_members int, n_resolved int, n_unclosed int, "
+            "n_unattached int"
         ),
     )
 

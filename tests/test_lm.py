@@ -80,6 +80,19 @@ def test_unseen_prefix_uniform_backoff(spark):
     assert abs(r.ppl - v) < 1e-9
 
 
+def test_empty_model_is_a_clear_error(spark):
+    """An empty model means v=0 → the smoothing denominator is 0 for
+    unseen n-grams; that must be a ValueError at call time, not
+    Infinity/NaN perplexities downstream."""
+    import pytest
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sc = spark.createDataFrame([(1, "xyzxyz")], "doc_id long, text string")
+    model = train_char_lm(empty, n=3)
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        lm_perplexity(sc, model, n=3)
+
+
 def test_train_partition_independent(spark):
     rows = [(i, f"doc {i} the cat sat on mat number {i % 7}") for i in range(60)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")

@@ -88,6 +88,38 @@ def test_assembly_stitches_and_nests(spark, frames):
     r10 = out[(10, 1)]
     assert r10.n_members == 1 and r10.n_resolved == 0
     assert r10.geometry is None
+    # attached hole → n_unattached stays 0
+    assert v1.n_unattached == 0
+
+
+def test_unattached_inner_ring_is_counted(spark):
+    """A closed inner ring whose bbox no outer contains is dropped
+    from the geometry — that degradation must be observable
+    (n_unattached), not silent (the r5 advice finding)."""
+    far_hole = [[9.0, 9.0], [9.5, 9.0], [9.5, 9.5], [9.0, 9.5], [9.0, 9.0]]
+    members = spark.createDataFrame(
+        [
+            (1, 1, 100, 0, 101, "outer"),
+            (1, 1, 100, 1, 102, "outer"),
+            (1, 1, 100, 2, 104, "inner"),
+        ],
+        "id long, version int, ts long, member_idx int, member_ref long, "
+        "member_role string",
+    )
+    way_geoms = spark.createDataFrame(
+        [
+            (101, 50, None, json.dumps(WAY_A_V1)),
+            (102, 50, None, json.dumps(WAY_B)),
+            (104, 50, None, json.dumps(far_hole)),
+        ],
+        "way_id long, valid_since long, valid_until long, coords_json string",
+    )
+    r = reconstruct_relations(members, way_geoms).first()
+    assert r.n_unclosed == 0
+    assert r.n_unattached == 1
+    geom = json.loads(r.geometry)
+    (poly,) = geom["coordinates"]
+    assert len(poly) == 1  # the orphan hole is not in the geometry
 
 
 def test_stitch_reversal_and_unclosed():
