@@ -585,9 +585,17 @@ def main() -> None:
         lambda: _ev(pages, tolerant=True).count(), "extract_tolerant"
     )
     # hot-key stress: the salted-vs-plain collect carries a wall
-    # number, not just a pytest equivalence (one 150K-version id)
-    timings["skew_history_plain"] = round(skew_job(spark, salted=False), 3)
-    timings["skew_history_salted"] = round(skew_job(spark, salted=True), 3)
+    # number, not just a pytest equivalence (one 150K-version id).
+    # Best-of-N like every other wall — the round-6 run caught the
+    # single-pass pair sampling two different noise windows and
+    # inverting the comparison.
+    for name, salted in (
+        ("skew_history_plain", False),
+        ("skew_history_salted", True),
+    ):
+        walls = [round(skew_job(spark, salted=salted), 3) for _ in range(passes)]
+        raw[name] = walls
+        timings[name] = min(walls)
     # one-call corpus dedup, lazy vs the single-scan staged lever
     # (round-5): the lazy DAG re-runs tokenize+shingle ~4x; staging
     # the (doc_id, md5, shingles) table pays one write and wins even
