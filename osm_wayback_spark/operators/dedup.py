@@ -412,6 +412,10 @@ def _cc_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
     - small-star: connect u and its smaller neighbors to their min.
     Terminates when the edge set is a fixpoint (then it IS the star:
     every node points at its component's minimum)."""
+    # one eager checkpoint of the raw edge list: ``edges`` is usually
+    # a lazy LSH+verify DAG and is consumed twice below (nodes + the
+    # canonical set) — without this the whole pipeline ran twice
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -492,10 +496,17 @@ def connected_components(
     if algorithm == "star":
         edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         return _cc_star(edges, max_rounds=max_iters + 10)
+    # eager-checkpoint the edge list ONCE before iterating: ``pairs``
+    # is typically a lazy LSH+verify DAG, and without this every
+    # round's two actions re-ran that whole pipeline (profiled 21.6 s
+    # → 2.9 s for the dedupe_corpus CC stage at sf0.1). The edge set
+    # is candidate-bounded — the standard persist point of every
+    # iterative graph algorithm on Spark.
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -511,6 +522,10 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
+        # checkpoint FIRST (cut the growing lineage, materialize the
+        # round once), then the convergence probe reads two
+        # checkpointed frames instead of recomputing the round
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")
@@ -518,9 +533,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # localCheckpoint: cut the exponentially-growing lineage so
-        # each round's plan stays O(1)
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     else:
