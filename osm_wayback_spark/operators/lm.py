@@ -101,7 +101,16 @@ def lm_perplexity(
     ppl). Broadcast-joins the model; one shuffle total (the per-doc
     aggregate). An empty model is an error: with v=0 the smoothing
     denominator collapses to 0 for unseen n-grams and every ppl would
-    silently come out Infinity/NaN."""
+    silently come out Infinity/NaN.
+
+    The model frame is consumed THREE times (vocabulary count,
+    per-prefix totals, the broadcast join) — when the caller hands a
+    lazy train_char_lm DAG that would re-run the corpus-sized
+    training groupBy each time, so it is eagerly materialized once
+    here; the model is alphabet-bounded (≤ |Σ|^n rows), so the
+    checkpoint costs nothing even when the input was already a
+    table."""
+    model = model.localCheckpoint(eager=True)
     v = model.select(F.countDistinct("nxt")).first()[0]
     if not v:
         raise ValueError(
