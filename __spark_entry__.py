@@ -1354,6 +1354,9 @@ def _code_fp() -> str:
         ) + [
             "/root/repo/tests/oracle.py",
             "/root/repo/tests/oracle_reconstruct.py",
+            # the materialization projections themselves live here —
+            # an entry edit must invalidate the cache too
+            "/root/repo/__spark_entry__.py",
         ]
         for f in files:
             with open(f, "rb") as fh:
