@@ -114,6 +114,52 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
+    """Pure-Python RIFF/WAVE decode: uncompressed PCM (format 1,
+    8/16/32-bit int) → ((n_frames, channels) float64 in [-1, 1],
+    sample_rate). Chunk-walks the RIFF container per the public spec
+    (fmt then data; other chunks skipped, word-aligned). Compressed
+    formats raise, marking where a codec kernel plugs in."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "payload is not RIFF/WAVE; built-in audio decode covers "
+            "uncompressed PCM WAV only"
+        )
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload, body)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            audio_format, channels, rate, _, _, bits = fmt
+            if audio_format != 1 or bits not in (8, 16, 32):
+                raise NotImplementedError(
+                    f"only uncompressed {8, 16, 32}-bit PCM is built in "
+                    f"(got format={audio_format}, bits={bits})"
+                )
+            if channels <= 0:
+                raise ValueError("WAV with zero channels")
+            dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+            n = min(size, len(payload) - body) // (bits // 8)
+            n -= n % channels
+            raw = np.frombuffer(payload, dtype=dtype, count=n, offset=body)
+            x = raw.astype(np.float64)
+            if bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+                x = (x - 128.0) / 128.0
+            else:
+                x = x / float(2 ** (bits - 1))
+            return x.reshape(-1, channels), rate
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("WAV without a data chunk")
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an image payload → (H, W, C) uint8 array. Pillow when
     installed (covers PNG/JPEG/...); the built-in pure-Python PPM/BMP
@@ -181,6 +227,46 @@ def decode_features(
             )
 
     return media.mapInPandas(
+        kernel, schema="media_id long, kind string, features array<float>"
+    )
+
+
+def _rms_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real audio feature kernel: per-bucket RMS energy over the
+    mono mix, ``dim`` equal time buckets."""
+    x, _rate = decode_audio(payload)
+    mono = x.mean(axis=1)
+    cells = np.array_split(mono, dim)
+    return [
+        round(float(np.sqrt((c * c).mean())), 6) if c.size else 0.0
+        for c in cells
+    ]
+
+
+def audio_features(
+    media: DataFrame, dim: int = FEATURE_DIM, real: bool = True
+) -> DataFrame:
+    """media(media_id, kind, payload, ...) → (media_id, kind,
+    features array<float>) for audio rows: per-bucket RMS energy
+    from the built-in PCM WAV decode (``real=False`` falls back to
+    the deterministic md5 stub for undecodable payloads). Same
+    Arrow-batched mapInPandas plumbing as decode_features."""
+    extract = _rms_features if real else _fake_features
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "features": [
+                        extract(bytes(p) if p is not None else b"", dim)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
         kernel, schema="media_id long, kind string, features array<float>"
     )
 

@@ -139,6 +139,68 @@ def test_pixel_features_mixed_formats_agree(spark):
     assert feats[1] == feats[2]
 
 
+def wav16(frames, rate=8000, extra_chunk=True):
+    """Encode (n, channels) int16 → PCM WAV bytes via the stdlib-free
+    spec layout (independent of the decoder under test); optionally
+    inserts an odd-sized junk chunk before data to exercise the
+    chunk walk + word alignment."""
+    arr = np.asarray(frames, dtype=np.int16)
+    n, ch = arr.shape
+    data = arr.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        chunks += b"LIST" + struct.pack("<I", 3) + b"odd" + b"\x00"  # pad
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_audio_pcm_wav():
+    from osm_wayback_spark.operators.multimodal import decode_audio
+
+    t = np.arange(64)
+    left = (np.sin(t / 3.0) * 16384).astype(np.int16)
+    right = np.zeros(64, dtype=np.int16)
+    x, rate = decode_audio(wav16(np.stack([left, right], axis=1), rate=4000))
+    assert rate == 4000 and x.shape == (64, 2)
+    assert np.allclose(x[:, 0], left / 32768.0)
+    assert (x[:, 1] == 0).all()
+    # chunk walk without the junk chunk too
+    x2, _ = decode_audio(
+        wav16(np.stack([left, right], axis=1), extra_chunk=False)
+    )
+    assert np.allclose(x, x2)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00not audio at all")
+    # compressed formats are a clean NotImplementedError
+    bad = bytearray(wav16(np.zeros((4, 1), dtype=np.int16)))
+    struct.pack_into("<H", bad, bad.index(b"fmt ") + 8, 7)  # mu-law
+    with pytest.raises(NotImplementedError):
+        decode_audio(bytes(bad))
+
+
+def test_audio_features_rms(spark):
+    """Real audio features end-to-end through the Arrow kernel: a
+    loud half followed by a silent half shows up as high-then-zero
+    RMS buckets."""
+    from osm_wayback_spark.operators.multimodal import audio_features
+
+    loud = np.full(512, 16384, dtype=np.int16)
+    silent = np.zeros(512, dtype=np.int16)
+    wav = wav16(np.concatenate([loud, silent]).reshape(-1, 1))
+    df = spark.createDataFrame(
+        [(7, "audio", wav, "audio/wav", None, None, 128),
+         (8, "image", b"not audio", "image/png", 2, 2, None)],
+        MEDIA,
+    )
+    rows = audio_features(df, dim=4).collect()
+    assert [r.media_id for r in rows] == [7]  # non-audio rows filtered
+    f = list(rows[0].features)
+    assert len(f) == 4
+    assert f[0] == f[1] == pytest.approx(0.5, abs=1e-6)
+    assert f[2] == f[3] == 0.0
+
+
 def test_decode_features_deterministic(media):
     a = {r.media_id: list(r.features) for r in decode_features(media).collect()}
     b = {r.media_id: list(r.features) for r in decode_features(media.repartition(3)).collect()}
