@@ -869,16 +869,27 @@ def winnow_pairs(
     max_bucket: int | None = None,
     hash_fn: str = "md5",
     chunk_chars: int | None = 4096,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) document pairs sharing ≥1 winnowing
     fingerprint — i.e. guaranteed to surface every pair sharing a
     verbatim run of ≥ w+k-1 chars. Equi-join on the fingerprint
     (never all-pairs); `max_bucket` drops degenerate boilerplate
     fingerprints shared by half the corpus (logged, see
-    _cap_buckets) — None is the exact/oracle configuration."""
+    _cap_buckets) — None is the exact/oracle configuration.
+
+    ``stage_dir``: the self-join's two sides otherwise each evaluate
+    the full text-hashing pipeline (Catalyst cannot reuse the
+    exchange once one side broadcasts). At 100 TB stage the compact
+    (doc_id, fp) table to parquet once — MOSS's own fingerprint
+    index — and both sides read it; identical results."""
     fps = winnow_fingerprints(
         documents, k, w, hash_fn=hash_fn, chunk_chars=chunk_chars
     )
+    if stage_dir is not None:
+        path = f"{stage_dir}/winnow_fps.parquet"
+        fps.write.mode("overwrite").parquet(path)
+        fps = documents.sparkSession.read.parquet(path)
     fps = _cap_buckets(fps, ["fp"], max_bucket, "winnow_pairs")
     a = fps.alias("a")
     b = fps.alias("b")

@@ -550,6 +550,22 @@ def test_winnow_chunked_equals_unchunked(spark):
         winnow_fingerprints(docs, k, w, chunk_chars=k + w).collect()
 
 
+def test_winnow_staged_fps_equal_lazy(spark, tmp_path):
+    """stage_dir writes the (doc_id, fp) table once and self-joins
+    the parquet — pair set identical to the lazy double-evaluation."""
+    from osm_wayback_spark.operators.dedup import winnow_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lazy = {(r.doc_a, r.doc_b) for r in winnow_pairs(docs, 8, 4).collect()}
+    staged = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_pairs(docs, 8, 4, stage_dir=str(tmp_path)).collect()
+    }
+    assert staged == lazy
+    st = spark.read.parquet(str(tmp_path / "winnow_fps.parquet"))
+    assert set(st.columns) == {"doc_id", "fp"}
+
+
 def test_winnow_xxhash_path_keeps_guarantee(spark):
     from osm_wayback_spark.operators.dedup import winnow_pairs
 
