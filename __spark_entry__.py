@@ -1216,6 +1216,43 @@ def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LD_BP = (
+    "BOILERPLATE: subscribe to our newsletter for updates today and "
+    "share this page"
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup (operators/dedup.line_dedup
+    — the C4/MassiveText recipe: a line occurring more than once in
+    the corpus survives only at its first (doc_id, idx) occurrence;
+    lines under min_chars are never deduped). Fixture: every doc gets
+    the SAME long boilerplate line, its own text, and a short per-doc
+    tail — so the boilerplate must survive exactly once, duplicate
+    texts collapse to their first doc, and the short tails all stay.
+    The reassembled text is md5-hash-gated against an identical
+    DuckDB derivation."""
+    from osm_wayback_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    fx = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(_LD_BP),
+            F.col("text"),
+            F.concat(F.lit("id "), F.col("doc_id")),
+        ).alias("text"),
+    )
+    out = line_dedup(fx, min_chars=30)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines",
+        "n_dropped",
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (functions/text.redact_pii): the corpus text is
     synthetic and clean, so deterministic PII (an email, a phone, an
@@ -1692,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_packing": q_token_packing,
         "pii_scrub": q_pii_scrub,
         "canonical_url": q_canonical_url,
+        "line_dedup": q_line_dedup,
         "contamination": q_contamination,
         "embedding_near_dup": q_embedding_near_dup,
         "pricing_summary": q_pricing_summary,
@@ -2374,6 +2412,45 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
               )
             )
+        """,
+        "line_dedup": r"""
+            WITH fx AS (
+              SELECT doc_id,
+                     'BOILERPLATE: subscribe to our newsletter for updates today and share this page'
+                     || chr(10) || text || chr(10) || 'id ' || doc_id AS t
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, s.idx AS idx, s.ln AS ln
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             string_split(t, chr(10)),
+                             (x, i) -> {'idx': i - 1, 'ln': x})) AS s
+                    FROM fx)
+            ),
+            keyed AS (
+              SELECT doc_id, idx, ln,
+                     CASE WHEN length(ln) >= 30 THEN md5(ln)
+                          ELSE 'keep:' || doc_id || ':' || idx END AS h
+              FROM lines
+            ),
+            rn AS (
+              SELECT doc_id, idx, ln,
+                     row_number() OVER (
+                       PARTITION BY h ORDER BY doc_id, idx
+                     ) AS rn
+              FROM keyed
+            )
+            SELECT doc_id,
+                   md5(coalesce(
+                     string_agg(ln, chr(10) ORDER BY idx)
+                       FILTER (WHERE rn = 1),
+                     '')) AS text_md5,
+                   count(*) AS n_lines,
+                   CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_dropped
+            FROM rn
+            GROUP BY doc_id
         """,
         "canonical_url": r"""
             WITH messy AS (

@@ -548,6 +548,59 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def line_dedup(
+    documents: DataFrame, min_chars: int = 30, sep: str = "\n"
+) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup (the C4/MassiveText recipe:
+    any line occurring more than once in the corpus survives only at
+    its FIRST occurrence) → (doc_id, text, n_lines, n_dropped) with
+    ``text`` reassembled from the surviving lines.
+
+    First occurrence = smallest (doc_id, line index) — deterministic
+    and partition-invariant. Lines shorter than ``min_chars`` are
+    always kept: dropping every repeated "", "---" or "Introduction"
+    would shred unrelated documents; the recipe targets boilerplate
+    runs, which are long.
+
+    Scale shape: ONE shuffle on the line hash (the first-occurrence
+    window — md5 shuffles, never the line text twice: the window
+    carries the line once) and ONE shuffle back on doc_id for the
+    reassembly aggregate. No self-join, no Python. Fully
+    SQL-expressible → under the DuckDB hash gate."""
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split("text", sep)).alias("idx", "ln")
+    )
+    w = Window.partitionBy("_h").orderBy("doc_id", "idx")
+    kept = (
+        lines.withColumn(
+            "_h",
+            F.when(F.length("ln") >= min_chars, F.md5("ln")).otherwise(
+                # short lines get a per-position key: never deduped
+                F.concat_ws(
+                    ":", F.lit("keep"), F.col("doc_id"), F.col("idx")
+                )
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_keep", F.col("_rn") == 1)
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("idx", "ln"))
+                    )
+                ),
+                lambda s: s["ln"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_dropped"),
+    )
+
+
 def _stage_exists(path: str) -> bool:
     import os
 

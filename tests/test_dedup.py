@@ -453,6 +453,46 @@ def test_dedupe_increment(spark):
     assert got2 == got
 
 
+def test_line_dedup_semantics(spark):
+    """C4/MassiveText line dedup: a long line occurring anywhere in
+    the corpus survives only at its first (doc_id, idx) occurrence;
+    short lines are exempt; reassembly preserves in-doc order."""
+    from osm_wayback_spark.operators.dedup import line_dedup
+
+    bp = "this exact boilerplate line is well over thirty characters"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha\n{bp}\nunique first body line of document one"),
+            (2, f"{bp}\nanother unique body line for document two\nalpha"),
+            # in-doc repeat of a long line: second copy dropped too
+            (3, "a long line repeated inside one single document!\n"
+                "a long line repeated inside one single document!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_chars=30).collect()}
+    assert out[1].text == (
+        f"alpha\n{bp}\nunique first body line of document one"
+    )
+    assert out[1].n_dropped == 0
+    # doc 2 loses the boilerplate (doc 1 owns it) but keeps the
+    # short 'alpha' line even though doc 1 also has it
+    assert out[2].text == (
+        "another unique body line for document two\nalpha"
+    )
+    assert out[2].n_lines == 3 and out[2].n_dropped == 1
+    assert out[3].text == (
+        "a long line repeated inside one single document!"
+    )
+    assert out[3].n_dropped == 1
+    # partition-invariant (first-occurrence key is (doc_id, idx))
+    out7 = {
+        r.doc_id: r.text
+        for r in line_dedup(docs.repartition(7), min_chars=30).collect()
+    }
+    assert out7 == {k: v.text for k, v in out.items()}
+
+
 def test_winnow_fingerprints_matches_reference(spark):
     import hashlib
 
