@@ -562,27 +562,29 @@ def line_dedup(
     would shred unrelated documents; the recipe targets boilerplate
     runs, which are long.
 
-    Scale shape: ONE shuffle on the line hash (the first-occurrence
-    window — md5 shuffles, never the line text twice: the window
-    carries the line once) and ONE shuffle back on doc_id for the
-    reassembly aggregate. No self-join, no Python. Fully
-    SQL-expressible → under the DuckDB hash gate."""
+    Scale shape: first-occurrence is a min-struct AGGREGATE on the
+    line hash — NOT a row_number window: a window cannot split a hot
+    key, and THE defining input here has one (a boilerplate line
+    shared by 10^9 documents lands whole on one reducer). The
+    aggregate partial-combines map-side (the hot key reduces to one
+    row per task), and the join back on the hash is an equi-join AQE
+    can skew-split. One more shuffle on doc_id reassembles. No
+    self-join, no Python. Fully SQL-expressible → under the DuckDB
+    hash gate."""
     lines = documents.select(
         "doc_id", F.posexplode(F.split("text", sep)).alias("idx", "ln")
+    ).withColumn(
+        "_h",
+        F.when(F.length("ln") >= min_chars, F.md5("ln")).otherwise(
+            # short lines get a per-position key: never deduped
+            F.concat_ws(":", F.lit("keep"), F.col("doc_id"), F.col("idx"))
+        ),
     )
-    w = Window.partitionBy("_h").orderBy("doc_id", "idx")
-    kept = (
-        lines.withColumn(
-            "_h",
-            F.when(F.length("ln") >= min_chars, F.md5("ln")).otherwise(
-                # short lines get a per-position key: never deduped
-                F.concat_ws(
-                    ":", F.lit("keep"), F.col("doc_id"), F.col("idx")
-                )
-            ),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_keep", F.col("_rn") == 1)
+    firsts = lines.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("_first")
+    )
+    kept = lines.join(firsts, on="_h").withColumn(
+        "_keep", F.struct("doc_id", "idx") == F.col("_first")
     )
     return kept.groupBy("doc_id").agg(
         F.array_join(
