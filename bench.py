@@ -550,6 +550,9 @@ def main() -> None:
         # round-5: winnowing substring fingerprints (MOSS) — the
         # verbatim-run detector's per-row hash-array cost
         "winnow_pairs",
+        # round-6: corpus-wide line-level exact dedup (C4 recipe) —
+        # skew-safe min-struct first-occurrence + reassembly
+        "line_dedup",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

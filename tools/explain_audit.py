@@ -240,6 +240,20 @@ def main() -> None:
         ],
     )
     add(
+        "line_dedup (C4/MassiveText line-level exact dedup): min-struct "
+        "aggregate, no window on the hot key",
+        e.q_line_dedup(spark, SF),
+        [
+            "first-occurrence is HashAggregate(min(struct(doc_id, idx))) "
+            "on the line md5 — partial-combines map-side, so a "
+            "corpus-wide boilerplate line reduces to one row per task "
+            "(a row_number window would land the hot key whole on one "
+            "reducer and cannot be split)",
+            "the join back on the hash is an equi-join AQE can "
+            "skew-split; reassembly is one aggregate on doc_id",
+        ],
+    )
+    add(
         "mix_rebalance (domain mixing): in-plan rates, broadcast dim join",
         e.q_mix_rebalance(spark, SF),
         [
