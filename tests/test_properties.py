@@ -292,3 +292,40 @@ def test_winnow_guarantee_python_model(t):
         # plant the full normalized text into fresh context
         host = "zzz " + run + " qqq"
         assert base & fps(host), (t, host)
+
+
+@given(
+    st.text(alphabet="abcd xyz", min_size=0, max_size=400),
+    st.integers(min_value=12, max_value=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_winnow_chunking_model_preserves_fingerprints(t, chunk):
+    """The overlapping-chunk decomposition used by
+    winnow_fingerprints(chunk_chars=) on the pure model: chunks of
+    ``chunk`` chars at stride chunk-(w+k-1)+1 must reproduce the
+    EXACT unchunked fingerprint set for arbitrary text and chunk
+    sizes down to the 2*(k+w-1) minimum."""
+    import hashlib
+
+    k, w = 4, 3
+    span = k + w - 1
+    if chunk < 2 * span:
+        chunk = 2 * span
+
+    def fps(s):
+        if len(s) < span:
+            return set()
+        hs = [
+            hashlib.md5(s[i:i + k].encode()).hexdigest()
+            for i in range(len(s) - k + 1)
+        ]
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    s = " ".join(t.split()).lower()
+    whole = fps(s)
+    chunked: set[str] = set()
+    if len(s) >= span:
+        stride = chunk - span + 1
+        for start in range(0, len(s) - span + 1, stride):
+            chunked |= fps(s[start:start + chunk])
+    assert chunked == whole
