@@ -1172,6 +1172,25 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_summary(pack_tokens(scored, budget=512))
 
 
+def q_example_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (operators/corpus
+    .example_windows): each language's token stream is cut into
+    fixed 512-token training examples with documents SPLIT across
+    boundaries; every (doc, example) overlap segment — offsets and
+    lengths — is hash-gated against an identical DuckDB cumsum
+    derivation."""
+    from osm_wayback_spark.functions.text import token_count
+    from osm_wayback_spark.operators.corpus import example_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return example_windows(scored, example_len=512)
+
+
 def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization for crawl dedup (functions/text
     .canonical_url): messy URLs (mixed-case scheme/host, default
@@ -1730,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "canonical_url": q_canonical_url,
         "line_dedup": q_line_dedup,
+        "example_windows": q_example_windows,
         "contamination": q_contamination,
         "embedding_near_dup": q_embedding_near_dup,
         "pricing_summary": q_pricing_summary,
@@ -2412,6 +2432,42 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
               )
             )
+        """,
+        "example_windows": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT lang AS stratum, doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS s,
+                     CAST(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+              FROM t WHERE n_tokens > 0
+            ),
+            seg AS (
+              SELECT stratum, doc_id, s, e,
+                     unnest(generate_series(s // 512, (e - 1) // 512))
+                       AS example_id
+              FROM o
+            )
+            SELECT stratum,
+                   CAST(example_id AS BIGINT) AS example_id,
+                   doc_id,
+                   CAST(greatest(s, example_id * 512) - example_id * 512
+                        AS BIGINT) AS ex_offset,
+                   CAST(greatest(s, example_id * 512) - s
+                        AS BIGINT) AS doc_offset,
+                   CAST(least(e, (example_id + 1) * 512)
+                        - greatest(s, example_id * 512)
+                        AS BIGINT) AS seg_tokens
+            FROM seg
         """,
         "line_dedup": r"""
             WITH fx AS (

@@ -84,6 +84,71 @@ def pack_tokens(
     )
 
 
+def example_windows(
+    documents: DataFrame,
+    example_len: int,
+    token_col: str = "n_tokens",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: the stratum's
+    token stream (documents concatenated in deterministic ``id_col``
+    order) is cut into fixed ``example_len`` training examples, and
+    documents ARE split across example boundaries — the complement
+    of ``pack_tokens`` (which never splits). → one row per
+    (document, example) overlap segment:
+
+    (stratum, example_id, doc_id, ex_offset, doc_offset, seg_tokens)
+
+    where ex_offset is the segment's start inside the example,
+    doc_offset its start inside the document. Conservation
+    invariants (pytested): per-example segment sums equal
+    example_len (except each stratum's final partial example) and
+    per-document sums equal the document's token count.
+
+    Scale shape: ONE cumulative-sum window per stratum (the same
+    single Exchange as pack_tokens) + an explode bounded by
+    ceil(n_tokens/example_len) rows per document — no join, no
+    Python. Zero-token documents contribute nothing and are
+    dropped."""
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    L = F.lit(example_len)
+    end = F.sum(token_col).over(w)  # exclusive end offset in stream
+    with_off = documents.filter(F.col(token_col) > 0).select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        F.col(token_col).alias("_n"),
+        (end - F.col(token_col)).alias("_start"),
+        end.alias("_end"),
+    )
+    seg = with_off.select(
+        "stratum",
+        "doc_id",
+        "_start",
+        "_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / L),
+                F.floor((F.col("_end") - 1) / L),
+            )
+        ).alias("example_id"),
+    )
+    seg_start = F.greatest(F.col("_start"), F.col("example_id") * L)
+    seg_end = F.least(F.col("_end"), (F.col("example_id") + 1) * L)
+    return seg.select(
+        "stratum",
+        F.col("example_id").cast("long").alias("example_id"),
+        "doc_id",
+        (seg_start - F.col("example_id") * L).cast("long").alias("ex_offset"),
+        (seg_start - F.col("_start")).cast("long").alias("doc_offset"),
+        (seg_end - seg_start).cast("long").alias("seg_tokens"),
+    )
+
+
 def contamination_screen(
     train_docs: DataFrame,
     eval_docs: DataFrame,

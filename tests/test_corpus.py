@@ -181,3 +181,45 @@ def test_mix_rebalance(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_example_windows_conservation(spark):
+    """Concat-and-chunk invariants: every example in a stratum is
+    exactly example_len tokens except the final partial one;
+    per-document segment sums reproduce each doc's token count;
+    offsets stay inside their example/document; zero-token docs
+    vanish; deterministic under repartitioning."""
+    from osm_wayback_spark.operators.corpus import example_windows
+
+    rows = [
+        (i, "en" if i % 3 else "de", (i * 37) % 230)
+        for i in range(1, 120)
+    ] + [(500, "en", 0)]  # zero-token doc
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long"
+    )
+    L = 100
+    out = example_windows(docs, L).collect()
+    assert all(r.doc_id != 500 for r in out)
+    per_doc: dict = {}
+    per_ex: dict = {}
+    for r in out:
+        assert 0 <= r.ex_offset < L and 1 <= r.seg_tokens <= L
+        assert r.ex_offset + r.seg_tokens <= L
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.seg_tokens
+        per_ex[(r.stratum, r.example_id)] = (
+            per_ex.get((r.stratum, r.example_id), 0) + r.seg_tokens
+        )
+    want = {i: (i * 37) % 230 for i in range(1, 120) if (i * 37) % 230 > 0}
+    assert per_doc == want
+    for stratum in ("en", "de"):
+        exs = {e: n for (s, e), n in per_ex.items() if s == stratum}
+        last = max(exs)
+        assert all(n == L for e, n in exs.items() if e != last)
+        assert 1 <= exs[last] <= L
+        assert sorted(exs) == list(range(last + 1))  # no gaps
+    a = sorted(map(tuple, out))
+    b = sorted(
+        map(tuple, example_windows(docs.repartition(13), L).collect())
+    )
+    assert a == b
