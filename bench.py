@@ -553,6 +553,9 @@ def main() -> None:
         # round-6: corpus-wide line-level exact dedup (C4 recipe) —
         # skew-safe min-struct first-occurrence + reassembly
         "line_dedup",
+        # round-6: concat-and-chunk sequence packing (docs split
+        # across fixed example boundaries) — one cumsum window
+        "example_windows",
     ]
     qs = entrymod.queries()
     for name in bench_queries:

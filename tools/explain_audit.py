@@ -254,6 +254,17 @@ def main() -> None:
         ],
     )
     add(
+        "example_windows (concat-and-chunk packing): one cumsum window + "
+        "bounded explode",
+        e.q_example_windows(spark, SF),
+        [
+            "one Exchange on the stratum for the cumulative-sum window; "
+            "the per-doc explode is bounded by ceil(n_tokens/example_len) "
+            "rows; offsets are pure integer column math — no join, no "
+            "Python",
+        ],
+    )
+    add(
         "mix_rebalance (domain mixing): in-plan rates, broadcast dim join",
         e.q_mix_rebalance(spark, SF),
         [
