@@ -43,6 +43,12 @@ best-of-N ``efficiency`` (protocol headline since round 1) and the
 companion ``efficiency_paired`` (median of per-round paired wall
 ratios — robust to a single pass colliding with a load burst).
 
+Round-6 refinement — each scaling side runs TWO full-scale un-timed
+warm passes before announcing ready: across three full round-6 runs
+the first TIMED round was consistently the worst wall on both sides
+(residual JIT/page-cache warm-up), which the best-of headline
+ignores but the paired-median companion estimator does not.
+
 Round-5 refinement — the per-query section is noise-hardened the
 same way: every per-query wall (and pipeline_e2e) is the best of
 SPARK_GRAFT_BENCH_QUERY_PASSES (default 2) timed passes, so one
@@ -236,7 +242,13 @@ def measure(cores: int, runs: int = 3) -> dict:
     recon = pipeline.reconstruction_pipeline(warm)
     assign_tiles(recon.filter(F.col("geometry").isNotNull()), z=15).count()
     spark.catalog.clearCache()
-    core_job(spark)  # full-scale warm pass (JIT at real data shapes)
+    # TWO full-scale warm passes (round-6: across three full runs the
+    # FIRST timed round was consistently the worst on both sides —
+    # residual JIT/page-cache warm-up that min-combining ignores but
+    # the paired-median estimator does not)
+    core_job(spark)
+    spark.catalog.clearCache()
+    core_job(spark)
     best = None
     walls = []
     for _ in range(runs):
@@ -275,7 +287,12 @@ def measure_server(cores: int, ctrl_dir: str, samples: int) -> None:
     recon = pipeline.reconstruction_pipeline(warm)
     assign_tiles(recon.filter(F.col("geometry").isNotNull()), z=15).count()
     spark.catalog.clearCache()
-    core_job(spark)  # full-scale warm pass (JIT at real data shapes)
+    # TWO full-scale warm passes — see measure(); both sides warm
+    # concurrently on disjoint cores, so the extra pass costs one
+    # N-side wall of un-timed time, not two
+    core_job(spark)
+    spark.catalog.clearCache()
+    core_job(spark)
     _touch(os.path.join(ctrl_dir, f"ready_{cores}"))
     best = None
     walls = []
