@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 # helpers
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NOTE: no blanket fanout here — measured (r7): a parallelism
+    # floor only pays on per-row-HEAVY paths (fingerprinting, n-gram
+    # explosion), where the operators themselves apply
+    # plans/parallel.fanout_small; for light/prunable queries the
+    # extra Exchange costs more than the single-task scan.
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -41,11 +46,21 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # natural crawl layout. Benefits at scale: runs of one url share
     # column prefixes (better parquet encodings) and any url/ts
     # predicate prunes row groups via min/max stats.
-    cache = f"/root/repo/.cache/pages_sf{sf}_s"
+    # 64 range-partitioned files (globally url/ts-sorted — same rows
+    # and per-run bytes as the previous single orderBy write, which
+    # produced only 18 splittable units at sf0.1 and capped every
+    # downstream extraction stage at 18 of 32 cores): enough scan
+    # units that local[32] gets full parallelism with two waves, with
+    # the same run-length/encoding benefits.
+    cache = f"/root/repo/.cache/pages_sf{sf}_s64"
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-        synth_pages(spark, sf).orderBy("url", "warc_ts").write.mode(
-            "overwrite"
-        ).parquet(cache)
+        (
+            synth_pages(spark, sf)
+            .repartitionByRange(64, "url", "warc_ts")
+            .sortWithinPartitions("url", "warc_ts")
+            .write.mode("overwrite")
+            .parquet(cache)
+        )
     return spark.read.parquet(cache)
 
 

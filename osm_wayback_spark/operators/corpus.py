@@ -188,7 +188,9 @@ def contamination_screen(
             s = s.select(out_id, F.xxhash64("g").alias("g"))
         return s
 
-    t = side(train_docs, "doc_id")
+    from ..plans.parallel import fanout_small
+
+    t = side(fanout_small(train_docs), "doc_id")
     ev = side(eval_docs, "eval_id")
     if broadcast_eval:
         ev = F.broadcast(ev)

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles
+from ..plans.parallel import fanout_small
 
 logger = logging.getLogger(__name__)
 
@@ -83,7 +84,7 @@ def _exact_from_keyed(keyed: DataFrame) -> DataFrame:
 
 
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    return documents.select(
+    return fanout_small(documents).select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
     )
 
@@ -233,7 +234,9 @@ def jaccard_pairs(
     otherwise evaluates the tokenize+shingle expression ~4× (df
     filter, sizes, both self-join sides)."""
     if shingled is not None:
-        sh = shingled.select("doc_id", F.explode("_sh").alias("shingle"))
+        sh = fanout_small(shingled).select(
+            "doc_id", F.explode("_sh").alias("shingle")
+        )
     else:
         sh = doc_shingles(documents, n)
     if max_df is not None:
@@ -289,9 +292,13 @@ def minhash_dedup(
     (a (doc_id, _sh) frame) overrides re-deriving shingles from
     ``documents`` — the staged-corpus path, see dedupe_corpus."""
     if shingled is None:
-        shingled = documents.select(
+        shingled = fanout_small(documents).select(
             "doc_id", shingles(F.col("text"), n).alias("_sh")
         )
+    else:
+        # staged-table path: the compact (doc_id, _sh) parquet is a
+        # scan-adjacent frame — same tiny-file single-task hazard
+        shingled = fanout_small(shingled)
     sigs = minhash_signatures_from_shingles(shingled, num_hashes, hash_fn)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket=max_bucket)
     sh = shingled.select("doc_id", F.explode("_sh").alias("shingle"))
@@ -337,7 +344,7 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     token multiplicity. Pure column math (conv + bit ops) so the
     DuckDB oracle can mirror it exactly.
     """
-    toks = documents.select(
+    toks = fanout_small(documents).select(
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
     )
@@ -616,7 +623,7 @@ def stage_corpus(documents: DataFrame, stage_dir: str, n: int = 3) -> str:
     Factored out so the stage write and the downstream read can be
     run (and timed) independently; returns the table path."""
     path = f"{stage_dir}/dedup_stage.parquet"
-    documents.select(
+    fanout_small(documents).select(
         "doc_id",
         F.md5("text").alias("_h"),
         shingles(F.col("text"), n).alias("_sh"),
@@ -799,7 +806,14 @@ def dedupe_increment(
         "doc_id",
         "left_semi",
     )
-    sh = doc_shingles(new_docs, n).unionByName(doc_shingles(corpus_cand, n))
+    # corpus_cand is join-derived (already shuffle-parallel), so the
+    # explode is inlined rather than via doc_shingles — its
+    # fanout_small probe must only see scan-adjacent frames
+    sh = doc_shingles(new_docs, n).unionByName(
+        corpus_cand.select(
+            "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
+        )
+    )
     near = (
         _verify_jaccard(cands, sh, threshold)
         .select("doc_a")
@@ -869,6 +883,7 @@ def winnow_fingerprints(
     (single projection, no explode/distinct — fine when doc length
     is known-bounded)."""
     span = k + w - 1  # chars covered by one hash window
+    documents = fanout_small(documents)
     norm = documents.select(
         F.col(id_col).alias("doc_id"),
         F.lower(
@@ -904,12 +919,37 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), F.length(t) - k + 1), gram_hash
     )
     base = norm.select("doc_id", hashes.alias("_hs"))
-    mins = F.transform(
-        F.sequence(F.lit(1), F.size("_hs") - w + 1),
-        lambda j: F.array_min(F.slice("_hs", j, w)),
-    )
-    out = base.select(
-        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    # Sliding-window minima via a sparse table (doubling): build
+    # m_{2p}[j] = min(m_p[j], m_p[j+p]) for p = 1,2,4,... up to the
+    # largest power of two P <= w, then window_min_w[j] =
+    # min(m_P[j], m_P[j+w-P]) — the two P-windows overlap and cover
+    # [j, j+w-1] exactly (w <= 2P), and min is idempotent, so the
+    # values are IDENTICAL to the previous array_min(slice(hs, j, w))
+    # form (property-pytested). O(L·log w) comparisons instead of
+    # O(L·w) slice+scan — measured ~2x on the 32-char md5-hex path
+    # where every comparison is a string compare (guide §1.2 "per-task
+    # work"). One chained projection per level: CollapseProject will
+    # not re-inline non-cheap expressions referenced twice, so each
+    # level is evaluated once.
+    big = 1 << (w.bit_length() - 1)  # largest power of two <= w
+    lvl = base.select("doc_id", F.col("_hs").alias("_m"))
+
+    def _pair_min(col: str, d: int):
+        n_out = F.size(col) - d
+        return F.zip_with(
+            F.slice(col, 1, n_out),
+            F.slice(col, d + 1, n_out),
+            lambda l, r: F.least(l, r),
+        )
+
+    p = 1
+    while p < big:
+        lvl = lvl.select("doc_id", _pair_min("_m", p).alias("_m"))
+        p *= 2
+    if w > big:
+        lvl = lvl.select("doc_id", _pair_min("_m", w - big).alias("_m"))
+    out = lvl.select(
+        "doc_id", F.explode(F.array_distinct("_m")).alias("fp")
     )
     if chunk_chars is not None:
         # overlap regions emit the same fp from two chunks

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.parallel import fanout_small
+
 
 def _norm(text: Column) -> Column:
     """lowercase + whitespace-collapse: a small, stable alphabet."""
@@ -72,7 +74,8 @@ def _exploded(docs: DataFrame, n: int, text_col: str) -> DataFrame:
     # sees a plain column (substring per element, not regex per
     # element — see char_ngrams docstring)
     return (
-        docs.select("doc_id", _norm(F.col(text_col)).alias("_t"))
+        fanout_small(docs)
+        .select("doc_id", _norm(F.col(text_col)).alias("_t"))
         .select("doc_id", F.explode(char_ngrams(F.col("_t"), n)).alias("g"))
         .select("doc_id", "g.prefix", "g.nxt")
     )

@@ -623,3 +623,46 @@ def test_winnow_xxhash_path_keeps_guarantee(spark):
                  for r in winnow_pairs(docs, k=8, w=4, hash_fn=fn).collect()}
         assert (1, 2) in pairs, fn
         assert not any(3 in p for p in pairs), fn
+
+
+def test_winnow_sparse_table_window_minima_match_reference(spark):
+    """r7 optimization: the O(L*log w) doubling sparse-table window
+    minima must produce exactly the fingerprint set of the naive
+    array_min(slice) form — exercised at w = 1, power-of-two and
+    non-power-of-two widths over adversarial repeated-gram texts,
+    unchunked and chunked."""
+    import hashlib
+    import random
+
+    from osm_wayback_spark.operators.dedup import winnow_fingerprints
+
+    def ref_fps(text, k, w):
+        t = " ".join(text.split()).lower()
+        if len(t) < k + w - 1:
+            return set()
+        hs = [
+            hashlib.md5(t[i:i + k].encode()).hexdigest()
+            for i in range(len(t) - k + 1)
+        ]
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    rng = random.Random(7)
+    texts = [
+        "abababababababababababababab",
+        "".join(rng.choice("abcd ") for _ in range(300)),
+        "x" * 40,
+        "equal windows must pick equal minima for the guarantee to hold",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for k, w in ((5, 1), (5, 2), (5, 3), (4, 8), (6, 12), (3, 7)):
+        for chunk in (None, 2 * (k + w - 1) + 3):
+            got = {}
+            rows = winnow_fingerprints(
+                docs, k, w, chunk_chars=chunk
+            ).collect()
+            for r in rows:
+                got.setdefault(r.doc_id, set()).add(r.fp)
+            for i, t in enumerate(texts):
+                assert got.get(i, set()) == ref_fps(t, k, w), (k, w, chunk, i)
