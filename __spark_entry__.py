@@ -1622,7 +1622,11 @@ def q_pages_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_wayback_spark import pipeline
 
     _write_reconstruct_expected(sf_dir)
-    out = pipeline.reconstruction_pipeline(_pages(spark, sf_dir))
+    # with_coords=False: this query projects identity columns only —
+    # no reason to make the kernel emit the tile-stage coords array
+    out = pipeline.reconstruction_pipeline(
+        _pages(spark, sf_dir), with_coords=False
+    )
     return out.select(
         "element_type",
         "id",
@@ -1647,7 +1651,9 @@ def q_pages_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf = sf_from_dir(sf_dir)
     path = f"{_ORACLE_DIR}/recon_tiles_in_sf{sf}_{_code_fp()}.parquet"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        recon = pipeline.reconstruction_pipeline(_pages(spark, sf_dir))
+        recon = pipeline.reconstruction_pipeline(
+            _pages(spark, sf_dir), with_coords=False
+        )
         (
             recon.filter(F.col("geometry").isNotNull())
             .select(

@@ -64,8 +64,14 @@ def assign_tiles(
 
     ``pts_col``: name of a typed ``array<array<double>>`` flat
     [lon,lat] column (e.g. ``reconstruct(with_coords=True)``'s
-    ``coords``) — skips the GeoJSON regexp re-parse entirely.
+    ``coords``) — skips the GeoJSON regexp re-parse entirely. When
+    None and the input carries a ``coords`` column (the
+    reconstruction pipeline's default output since r7), it is used
+    automatically — same tile set either way (pytest-pinned
+    equivalence on the full pipeline output).
     """
+    if pts_col is None and "coords" in features.columns:
+        pts_col = "coords"
     if pts_col is not None:
         df = features.withColumn("_pts", F.coalesce(
             F.col(pts_col), F.array().cast("array<array<double>>")

@@ -74,9 +74,17 @@ def geometry_pipeline(pages: DataFrame) -> DataFrame:
 def reconstruction_pipeline(
     pages: DataFrame,
     with_feature_json: bool = False,
-    with_coords: bool = False,
+    with_coords: bool = True,
 ) -> DataFrame:
-    """pages → per-version features (≙ stage-4 WRITE_EVERY_GEOMETRY)."""
+    """pages → per-version features (≙ stage-4 WRITE_EVERY_GEOMETRY).
+
+    ``with_coords`` (default True since r7): additionally emit the
+    typed flat [lon,lat] array. The kernel already holds the geometry
+    as objects, so emitting it costs one list per row — while the
+    downstream tile stage otherwise re-derives every vertex from the
+    GeoJSON STRING with a regexp (measured 2-3x the whole e2e wall at
+    sf0.1; guide §8: move decisions onto typed small columns).
+    ``assign_tiles`` picks the column up automatically."""
     return reconstruct(
         geometry_pipeline(pages),
         with_feature_json=with_feature_json,
