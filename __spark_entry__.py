@@ -1608,9 +1608,14 @@ def _write_reconstruct_expected(sf_dir: str) -> None:
             ("geometry", pa.string()),
         ]
     )
+    # write-then-rename (r6 advice): pq.write_table is not atomic, and
+    # the memo gate above is a bare os.path.exists — a crash mid-write
+    # must not leave a partial file that later runs symlink and reuse
+    tmp = out + ".tmp"
     pq.write_table(
-        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), out
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), tmp
     )
+    os.replace(tmp, out)
     _point(link, out)
 
 
@@ -1722,16 +1727,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER IS THE DRIVER'S GATE WINDOW (r6 verdict item 1): the
+    # correctness artifact records the FIRST 50 entries, so the 5
+    # pages_* reference-parity rows (last driver-green in r4) and
+    # pricing_summary/top_customers (rotated out in r6) come FIRST,
+    # and the longest-stable rows (green since rounds 1-3:
+    # snapshot_latest, history_assembly, tag_diff, tile_assign,
+    # cell_stats, pip, dedup_exact) rotate to the tail. Every query
+    # and its oracle SQL is unchanged — only the dict order moved.
     return {
-        "snapshot_latest": q_snapshot_latest,
-        "history_assembly": q_history_assembly,
-        "tag_diff": q_tag_diff,
-        "tile_assign": q_tile_assign,
-        "cell_stats": q_cell_stats,
-        "pip": q_pip,
+        "pages_history": q_pages_history,
+        "pages_locations": q_pages_locations,
+        "pages_reconstruct": q_pages_reconstruct,
+        "pages_tiles": q_pages_tiles,
+        "pages_topojson": q_pages_topojson,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
         "knn": q_knn,
         "cosine_topk": q_cosine_topk,
-        "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1773,13 +1786,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "example_windows": q_example_windows,
         "contamination": q_contamination,
         "embedding_near_dup": q_embedding_near_dup,
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "pages_history": q_pages_history,
-        "pages_locations": q_pages_locations,
-        "pages_reconstruct": q_pages_reconstruct,
-        "pages_tiles": q_pages_tiles,
-        "pages_topojson": q_pages_topojson,
+        # tail: longest-stable rows (see the ordering note above)
+        "snapshot_latest": q_snapshot_latest,
+        "history_assembly": q_history_assembly,
+        "tag_diff": q_tag_diff,
+        "tile_assign": q_tile_assign,
+        "cell_stats": q_cell_stats,
+        "pip": q_pip,
+        "dedup_exact": q_dedup_exact,
     }
 
 

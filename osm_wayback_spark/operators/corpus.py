@@ -61,26 +61,107 @@ def stratified_sample(
     return documents.filter(sample_bucket(F.col(id_col)) < rate)
 
 
+def _with_stream_end(
+    documents: DataFrame,
+    token_col: str,
+    stratum_col: str,
+    id_col: str,
+    shards: int | None,
+) -> DataFrame:
+    """+ ``_stream_end``: the INCLUSIVE per-stratum running token sum
+    in global (stratum, id) order — the prefix sum both packers need.
+
+    Two physically different plans, same values (pytest-pinned on a
+    90%-one-stratum skew fixture):
+
+    - **single window** (small inputs): one cumulative-sum window per
+      stratum. Simple, one Exchange — but the whole stratum's cumsum
+      runs through ONE reducer, the r6-verdict scale-killer for a
+      dominant stratum at 100 TB.
+    - **distributed two-pass prefix sum** (``shards`` > 1): range-
+      repartition by (stratum, id) so partition order follows the
+      global order, cumsum WITHIN each (stratum, partition) slice,
+      aggregate the tiny per-slice totals, turn them into per-slice
+      starting offsets with a window over the (#shards)-row totals
+      table, broadcast-join the offsets back and add. Every window
+      partition is bounded by the shard size regardless of stratum
+      skew, and the result is the same prefix sum for ANY shard
+      boundary placement — so the output does not depend on the range
+      sampler.
+
+    ``shards=None`` picks automatically: the distributed form engages
+    when the (probe-able, scan-adjacent) input already has more
+    partitions than the session's parallelism — i.e. at real scale;
+    small/bench inputs keep the one-window plan. Pass an explicit
+    ``shards`` to force either form (0/1 = single window)."""
+    if shards is None:
+        from ..plans.parallel import probe_scan_partitions
+
+        par = documents.sparkSession.sparkContext.defaultParallelism
+        n = probe_scan_partitions(documents)
+        shards = n if (n is not None and n > par) else 0
+    if shards and shards > 1:
+        d = documents.repartitionByRange(
+            shards, F.col(stratum_col), F.col(id_col)
+        ).withColumn("_pid", F.spark_partition_id())
+        w_in = (
+            Window.partitionBy(stratum_col, "_pid")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        totals = d.groupBy(stratum_col, "_pid").agg(
+            F.sum(token_col).alias("_t")
+        )
+        w_off = (
+            Window.partitionBy(stratum_col)
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            stratum_col,
+            "_pid",
+            F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
+        )
+        return (
+            d.join(F.broadcast(offsets), [stratum_col, "_pid"])
+            .withColumn(
+                "_stream_end", F.sum(token_col).over(w_in) + F.col("_off")
+            )
+            .drop("_pid", "_off")
+        )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return documents.withColumn("_stream_end", F.sum(token_col).over(w))
+
+
 def pack_tokens(
     documents: DataFrame,
     budget: int,
     token_col: str = "n_tokens",
     stratum_col: str = "lang",
     id_col: str = "doc_id",
+    shards: int | None = None,
 ) -> DataFrame:
     """Greedy sequential token packing: within each stratum, in
     deterministic ``id_col`` order, assign each document to chunk
     floor(tokens_before_it / budget). → input columns +
     ``chunk_id``. A chunk may overflow by the one document that
-    straddles its boundary (documents are never split)."""
-    w = (
-        Window.partitionBy(stratum_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum(token_col).over(w)
-    return documents.withColumn(
-        "chunk_id", F.floor((cum - F.col(token_col)) / budget).cast("long")
+    straddles its boundary (documents are never split).
+
+    ``shards``: see ``_with_stream_end`` — the prefix sum switches to
+    a distributed two-pass form at scale so no stratum serializes
+    through one window reducer (r6 verdict item 2)."""
+    cols = list(documents.columns)
+    d = _with_stream_end(documents, token_col, stratum_col, id_col, shards)
+    cum = F.col("_stream_end")
+    return d.select(
+        *cols,
+        F.floor((cum - F.col(token_col)) / budget)
+        .cast("long")
+        .alias("chunk_id"),
     )
 
 
@@ -90,6 +171,7 @@ def example_windows(
     token_col: str = "n_tokens",
     stratum_col: str = "lang",
     id_col: str = "doc_id",
+    shards: int | None = None,
 ) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: the stratum's
     token stream (documents concatenated in deterministic ``id_col``
@@ -106,19 +188,21 @@ def example_windows(
     example_len (except each stratum's final partial example) and
     per-document sums equal the document's token count.
 
-    Scale shape: ONE cumulative-sum window per stratum (the same
-    single Exchange as pack_tokens) + an explode bounded by
-    ceil(n_tokens/example_len) rows per document — no join, no
-    Python. Zero-token documents contribute nothing and are
-    dropped."""
-    w = (
-        Window.partitionBy(stratum_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    Scale shape: the per-stratum prefix sum (same ``_with_stream_end``
+    helper as pack_tokens — distributed two-pass form at scale, one
+    window per stratum on small inputs) + an explode bounded by
+    ceil(n_tokens/example_len) rows per document — no corpus-sized
+    join, no Python. Zero-token documents contribute nothing and are
+    dropped. Example ids use exact INTEGER division (``div``) on the
+    bigint offsets — floating-point floor() drifts past 2^53
+    cumulative tokens (r6 advice)."""
     L = F.lit(example_len)
-    end = F.sum(token_col).over(w)  # exclusive end offset in stream
-    with_off = documents.filter(F.col(token_col) > 0).select(
+    d = _with_stream_end(
+        documents.filter(F.col(token_col) > 0),
+        token_col, stratum_col, id_col, shards,
+    )
+    end = F.col("_stream_end")  # exclusive end offset in stream
+    with_off = d.select(
         F.col(stratum_col).alias("stratum"),
         F.col(id_col).alias("doc_id"),
         F.col(token_col).alias("_n"),
@@ -132,8 +216,8 @@ def example_windows(
         "_end",
         F.explode(
             F.sequence(
-                F.floor(F.col("_start") / L),
-                F.floor((F.col("_end") - 1) / L),
+                F.expr(f"_start div {int(example_len)}"),
+                F.expr(f"(_end - 1) div {int(example_len)}"),
             )
         ).alias("example_id"),
     )

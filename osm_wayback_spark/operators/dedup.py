@@ -622,7 +622,9 @@ def stage_corpus(documents: DataFrame, stage_dir: str, n: int = 3) -> str:
     raw text dropped — that every downstream dedup stage reads.
     Factored out so the stage write and the downstream read can be
     run (and timed) independently; returns the table path."""
-    path = f"{stage_dir}/dedup_stage.parquet"
+    # path keyed on the shingle size (r6 advice): a stage table
+    # written with a different n must never be silently reused
+    path = f"{stage_dir}/dedup_stage_n{n}.parquet"
     fanout_small(documents).select(
         "doc_id",
         F.md5("text").alias("_h"),
@@ -663,7 +665,7 @@ def dedupe_corpus(
     free at test scale, 3 redundant full-text passes at 100 TB. With
     ``stage_dir`` set, one pass writes the compact
     (doc_id, md5(text), shingle-array) table to
-    ``<stage_dir>/dedup_stage.parquet`` (the raw text column is
+    ``<stage_dir>/dedup_stage_n{n}.parquet`` (the raw text column
     DROPPED) and every downstream stage reads that columnar table
     instead. Results are identical (pytest-pinned).
 
@@ -674,7 +676,7 @@ def dedupe_corpus(
     as separate walls."""
     if stage_dir is not None:
         spark = documents.sparkSession
-        path = f"{stage_dir}/dedup_stage.parquet"
+        path = f"{stage_dir}/dedup_stage_n{n}.parquet"
         if not (stage_reuse and _stage_exists(path)):
             stage_corpus(documents, stage_dir, n=n)
         staged = spark.read.parquet(path)
@@ -690,15 +692,33 @@ def dedupe_corpus(
             staged.select("doc_id"), verified, algorithm=algorithm
         )
         return exact.join(clusters, on="doc_id")
-    exact = exact_dedup(documents).select(
-        "doc_id", "keep_id", F.col("is_dup").alias("is_exact_dup")
+    # Lazy path (r7): same single-scan shape as the staged path, but
+    # materialized with an eager localCheckpoint instead of a durable
+    # parquet table. The old form re-ran the tokenize+shingle
+    # expression ~4x (exact keying, signatures, both Jaccard-verify
+    # sides) — measured 4.8 -> 3.1 s at sf0.1 (interleaved A/B); the
+    # checkpoint is paid on EVERY invocation (nothing survives the
+    # call), and `stage_dir` remains the durable/resumable variant
+    # for clusters where executor-local blocks are not enough.
+    st = (
+        fanout_small(documents)
+        .select(
+            "doc_id",
+            F.md5("text").alias("_h"),
+            shingles(F.col("text"), n).alias("_sh"),
+        )
+        .localCheckpoint(eager=True)
     )
+    exact = _exact_from_keyed(
+        st.select("doc_id", F.col("_h").alias("h"))
+    ).select("doc_id", "keep_id", F.col("is_dup").alias("is_exact_dup"))
     verified = minhash_dedup(
         documents, num_hashes, bands, n, threshold, hash_fn,
         max_bucket=max_bucket,
+        shingled=st.select("doc_id", "_sh"),
     ).select("doc_a", "doc_b")
     clusters = dedup_clusters_from_pairs(
-        documents, verified, algorithm=algorithm
+        st.select("doc_id"), verified, algorithm=algorithm
     )
     return exact.join(clusters, on="doc_id")
 

@@ -250,8 +250,20 @@ def audio_features(
     features array<float>) for audio rows: per-bucket RMS energy
     from the built-in PCM WAV decode (``real=False`` falls back to
     the deterministic md5 stub for undecodable payloads). Same
-    Arrow-batched mapInPandas plumbing as decode_features."""
-    extract = _rms_features if real else _fake_features
+    Arrow-batched mapInPandas plumbing as decode_features.
+
+    A corrupt/non-RIFF payload on a kind='audio' row no longer fails
+    the whole job (r6 advice): the real path catches the decoder's
+    NotImplementedError/ValueError PER ROW and emits the md5 stub for
+    that row — mirroring decode_features' accept-anything default."""
+    if real:
+        def extract(p: bytes, d: int):
+            try:
+                return _rms_features(p, d)
+            except (NotImplementedError, ValueError):
+                return _fake_features(p, d)
+    else:
+        extract = _fake_features
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -426,7 +426,13 @@ def _ivf_train_data(embeddings: DataFrame, max_train: int | None) -> DataFrame:
     on re-runs and invariant to partitioning. Returns ``embeddings``
     unchanged when it already fits (so small-corpus results are
     bit-identical with or without the cap)."""
-    if max_train is None or embeddings.count() <= max_train:
+    if max_train is None:
+        return embeddings
+    # LIMIT-bounded probe instead of a full count() (r6 advice): the
+    # caller may hand a lazy upstream DAG, and deciding "does it fit"
+    # only needs to know whether row max_train+1 exists — the limit
+    # lets Spark stop early instead of evaluating the whole input.
+    if embeddings.limit(max_train + 1).count() <= max_train:
         return embeddings
     return (
         embeddings.withColumn("_h", F.md5(F.col("vec_id").cast("string")))

@@ -57,6 +57,19 @@ _BARRIER_NODES = (
 _DEFAULT_MIN_BYTES = 192 * 1024
 
 
+def probe_scan_partitions(df: DataFrame) -> int | None:
+    """Partition count of a scan-adjacent frame, or None when the
+    frame is not safely probe-able (contains joins/aggregates/
+    repartitions — under AQE the probe would execute those stages)."""
+    try:
+        plan = df._jdf.queryExecution().logical().toString()
+        if any(n in plan for n in _BARRIER_NODES):
+            return None
+        return df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning quirks
+        return None
+
+
 def fanout_small(
     df: DataFrame,
     factor: int = 1,

@@ -223,3 +223,47 @@ def test_example_windows_conservation(spark):
         map(tuple, example_windows(docs.repartition(13), L).collect())
     )
     assert a == b
+
+
+def test_packers_distributed_prefix_sum_equals_single_window(spark):
+    """r6 verdict item 2: the distributed two-pass prefix sum
+    (range shards + per-slice windows + broadcast offsets) must be
+    bit-identical to the one-window-per-stratum form on a skewed
+    fixture (90% of documents in one stratum), for any shard count —
+    including shard boundaries that split a stratum mid-stream."""
+    import random
+
+    from osm_wayback_spark.operators.corpus import (
+        example_windows,
+        pack_tokens,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, "en" if i % 10 else "de", rng.randint(0, 40))
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long"
+    ).repartition(7)
+
+    base_pack = sorted(
+        map(tuple, pack_tokens(docs, budget=97, shards=0).collect())
+    )
+    base_ex = sorted(
+        map(tuple, example_windows(docs, 64, shards=0).collect())
+    )
+    for shards in (2, 5, 16):
+        assert sorted(
+            map(tuple, pack_tokens(docs, budget=97, shards=shards).collect())
+        ) == base_pack, shards
+        assert sorted(
+            map(tuple, example_windows(docs, 64, shards=shards).collect())
+        ) == base_ex, shards
+    # the auto probe on a join-derived (non-probe-able) frame must
+    # fall back to the single-window form rather than executing the
+    # upstream stages during planning
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert sorted(
+        map(tuple, pack_tokens(joined, budget=97).collect())
+    ) == base_pack

@@ -325,7 +325,7 @@ def test_dedupe_corpus_staged_equals_lazy(spark, tmp_path):
     )
     assert lazy == staged
     # the staged table exists and carries no raw text
-    st = spark.read.parquet(str(tmp_path / "dedup_stage.parquet"))
+    st = spark.read.parquet(str(tmp_path / "dedup_stage_n3.parquet"))
     assert set(st.columns) == {"doc_id", "_h", "_sh"}
     assert st.count() == docs.count()
 
