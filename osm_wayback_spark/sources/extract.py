@@ -52,6 +52,33 @@ def _probe_lxml():
         return None
 
 
+from html.parser import HTMLParser as _HTMLParser
+
+
+class _PParser(_HTMLParser):
+    """Event half of _PTextParser — module-level so instantiating a
+    parser per page does not also CREATE A CLASS per page (the old
+    closure-class form paid type creation on every document; guide
+    §4.5: construct heavyweight state as rarely as possible)."""
+
+    def __init__(self, outer: "_PTextParser") -> None:
+        super().__init__(convert_charrefs=True)
+        self._outer = outer
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "p":
+            self._outer._flush()
+            self._outer.open = True
+
+    def handle_endtag(self, tag):
+        if tag == "p":
+            self._outer._flush()
+
+    def handle_data(self, data):
+        if self._outer.open:
+            self._outer.cur.append(data)
+
+
 class _PTextParser:
     """Tolerant <p>-text extraction on the stdlib HTMLParser: handles
     unclosed tags, attributes, case-insensitive tag names, and the
@@ -60,31 +87,10 @@ class _PTextParser:
     exists)."""
 
     def __init__(self) -> None:
-        from html.parser import HTMLParser
-
-        outer = self
-
-        class _P(HTMLParser):
-            def __init__(self) -> None:
-                super().__init__(convert_charrefs=True)
-
-            def handle_starttag(self, tag, attrs):
-                if tag == "p":
-                    outer._flush()
-                    outer.open = True
-
-            def handle_endtag(self, tag):
-                if tag == "p":
-                    outer._flush()
-
-            def handle_data(self, data):
-                if outer.open:
-                    outer.cur.append(data)
-
         self.open = False
         self.cur: list[str] = []
         self.parts: list[str] = []
-        self._parser = _P()
+        self._parser = _PParser(self)
 
     def _flush(self) -> None:
         if self.open:
@@ -117,6 +123,32 @@ def extract_text_tolerant(html_bytes: bytes) -> str:
     return _PTextParser().run(doc)
 
 
+class _SIslandParser(_HTMLParser):
+    """Tolerant island-script scanner — module-level for the same
+    no-class-per-page reason as _PParser."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=False)
+        self.in_island = False
+        self.body: list[str] = []
+        self.done = False
+
+    def handle_starttag(self, tag, attrs):
+        if self.done or tag != "script":
+            return
+        if dict(attrs).get("type", "").strip() == "application/osm+json":
+            self.in_island = True
+
+    def handle_endtag(self, tag):
+        if tag == "script" and self.in_island:
+            self.in_island = False
+            self.done = True
+
+    def handle_data(self, data):
+        if self.in_island:
+            self.body.append(data)
+
+
 def extract_island_tolerant(html_bytes: bytes) -> dict | None:
     """Real-crawl island extraction: pull the first
     ``application/osm+json`` script body with a tolerant HTML parse
@@ -125,33 +157,8 @@ def extract_island_tolerant(html_bytes: bytes) -> dict | None:
     (`<SCRIPT id=x type='application/osm+json'>`), which the
     `_MARK` fast path requires verbatim. Same fallback-probe pattern
     as extract_text_tolerant."""
-    from html.parser import HTMLParser
-
     doc = html_bytes.decode("utf-8", errors="replace")
-
-    class _S(HTMLParser):
-        def __init__(self) -> None:
-            super().__init__(convert_charrefs=False)
-            self.in_island = False
-            self.body: list[str] = []
-            self.done = False
-
-        def handle_starttag(self, tag, attrs):
-            if self.done or tag != "script":
-                return
-            if dict(attrs).get("type", "").strip() == "application/osm+json":
-                self.in_island = True
-
-        def handle_endtag(self, tag):
-            if tag == "script" and self.in_island:
-                self.in_island = False
-                self.done = True
-
-        def handle_data(self, data):
-            if self.in_island:
-                self.body.append(data)
-
-    p = _S()
+    p = _SIslandParser()
     p.feed(doc)
     p.close()
     if not p.body:
