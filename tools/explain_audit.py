@@ -337,6 +337,35 @@ def main() -> None:
         ],
     )
 
+    # the r7 distributed prefix-sum form of the same packer, forced on
+    # (shards=8) — the plan the operator auto-selects at real scale
+    from pyspark.sql import functions as F
+    from osm_wayback_spark.functions.text import token_count
+    from osm_wayback_spark.operators.corpus import pack_tokens
+
+    docs_scored = e._t(spark, SF, "documents").select(
+        "doc_id", "lang",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    add(
+        "token_packing (distributed prefix sum, shards=8): bounded windows "
+        "+ broadcast slice offsets",
+        pack_tokens(docs_scored, budget=512, shards=8),
+        [
+            "range-repartition by (stratum, id) -> every cumsum window "
+            "partitions on (stratum, range-slice): bounded by the slice "
+            "size, NO stratum-sized window partition anywhere",
+            "per-slice totals are a #shards-row aggregate, windowed and "
+            "broadcast-joined back — the corpus-sized side sees one "
+            "small-dim hash join",
+            "bit-identical to the single-window form for any shard "
+            "boundary placement (pytest with a 90%-one-stratum fixture; "
+            "auto-selected only when the input scan is wider than the "
+            "session parallelism, so the bench/oracle plan above is "
+            "unchanged)",
+        ],
+    )
+
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write(
             "# Physical-plan audit (generated by tools/explain_audit.py)\n\n"
