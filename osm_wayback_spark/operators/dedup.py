@@ -301,33 +301,49 @@ def minhash_dedup(
         shingled = fanout_small(shingled)
     sigs = minhash_signatures_from_shingles(shingled, num_hashes, hash_fn)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket=max_bucket)
-    sh = shingled.select("doc_id", F.explode("_sh").alias("shingle"))
-    return _verify_jaccard(cands, sh, threshold)
+    return _verify_jaccard_arrays(cands, shingled, threshold)
 
 
-def _verify_jaccard(
-    cands: DataFrame, sh: DataFrame, threshold: float
+def _verify_jaccard_arrays(
+    cands: DataFrame, shingled: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs against an
-    exploded (doc_id, shingle) frame → (doc_a, doc_b, jaccard ≥
-    threshold)."""
-    sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("sz"))
-    a = sh.withColumnRenamed("doc_id", "doc_a")
-    b = sh.withColumnRenamed("doc_id", "doc_b")
-    inter = (
-        cands.join(a, on="doc_a")
-        .join(b, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("shingle").alias("inter"))
+    """Exact-Jaccard verification directly on the per-doc DISTINCT
+    shingle ARRAYS (r7): two equi-joins attach each candidate side's
+    array, then intersection/sizes are per-row set math
+    (array_intersect is hash-based, O(|a|+|b|)).
+
+    Replaces the r6 exploded-shingle form (explode -> two
+    shingle-level joins -> aggregations -> size joins) where the
+    arrays are already at hand: that shape paid explode → two
+    shingle-level joins → two aggregations → two size joins — five
+    extra shuffles of |shingles-per-doc| × rows. Identical result:
+    shingles() arrays are array_distinct, so size(array_intersect)
+    == countDistinct(shared shingle), and pairs with an empty
+    intersection are dropped explicitly (the exploded form's inner
+    join dropped them implicitly)."""
+    a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha")
     )
+    b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_shb")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
+        cands.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("_i"),
+            F.size("_sha").alias("_sa"),
+            F.size("_shb").alias("_sb"),
+        )
+        .filter(F.col("_i") > 0)
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+                F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -826,16 +842,21 @@ def dedupe_increment(
         "doc_id",
         "left_semi",
     )
-    # corpus_cand is join-derived (already shuffle-parallel), so the
-    # explode is inlined rather than via doc_shingles — its
-    # fanout_small probe must only see scan-adjacent frames
-    sh = doc_shingles(new_docs, n).unionByName(
-        corpus_cand.select(
-            "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
+    # array-based verify (see _verify_jaccard_arrays): shingle ARRAYS
+    # per side, no shingle-level explode/joins. corpus_cand is
+    # join-derived (already shuffle-parallel) and must not be probed
+    # by fanout_small, so only the new side gets the parallelism floor
+    shing = (
+        fanout_small(new_docs)
+        .select("doc_id", shingles(F.col("text"), n).alias("_sh"))
+        .unionByName(
+            corpus_cand.select(
+                "doc_id", shingles(F.col("text"), n).alias("_sh")
+            )
         )
     )
     near = (
-        _verify_jaccard(cands, sh, threshold)
+        _verify_jaccard_arrays(cands, shing, threshold)
         .select("doc_a")
         .distinct()
         .withColumnRenamed("doc_a", "doc_id")
