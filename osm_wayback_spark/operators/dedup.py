@@ -1026,6 +1026,12 @@ def winnow_pairs(
         path = f"{stage_dir}/winnow_fps.parquet"
         fps.write.mode("overwrite").parquet(path)
         fps = documents.sparkSession.read.parquet(path)
+    else:
+        # materialize the compact (doc_id, fp) table once per
+        # invocation (eager — nothing survives the call): both join
+        # sides otherwise re-run the whole text-hashing pipeline
+        # (r7; the durable variant stays ``stage_dir``)
+        fps = fps.localCheckpoint(eager=True)
     fps = _cap_buckets(fps, ["fp"], max_bucket, "winnow_pairs")
     a = fps.alias("a")
     b = fps.alias("b")
