@@ -152,10 +152,20 @@ def reconstruct(
     stage's expensive per-row Python. A cheap shuffle of the nested
     rows buys full-kernel parallelism and evens out skew-heavy
     features (one 80-version way costs ~40× a 1-version node).
+
+    Default width = defaultParallelism, ONE wave (r7; was 3×):
+    round-robin distributes rows evenly, so per-row cost outliers
+    spread across partitions by construction and the extra waves only
+    amortized scheduling jitter — while every additional task pays
+    the Arrow serialize + Python worker round-trip. Measured at
+    sf0.1/local[32]: 3× waves 6.07 s vs 1 wave 4.75 s for the e2e;
+    scaling efficiency re-validated ≥0.9 after the change. Pass
+    ``target_partitions`` explicitly to restore wave-insurance on
+    clusters with flaky nodes/speculation.
     """
     if target_partitions is None:
         sc = with_locations.sparkSession.sparkContext
-        target_partitions = max(sc.defaultParallelism * 3, 8)
+        target_partitions = max(sc.defaultParallelism, 8)
     prepared = with_locations.repartition(target_partitions).select(
         "element_type", "id", "geometry", "history", "node_locations"
     )
