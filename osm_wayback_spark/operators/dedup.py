@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles
@@ -508,9 +508,10 @@ def connected_components(
     label and its neighbors' labels; converges in (component
     diameter) rounds — near-dup clusters are shallow, and
     ``max_iters`` bounds the pathological chain. Each round is one
-    join + one groupBy on the node id; the per-round driver action is
-    a single converged-count. This simple form keeps the DuckDB
-    recursive-CTE oracle exact.
+    join + one groupBy on the node id, and ONE driver action: the
+    convergence probe is an observe() metric collected by the same
+    job that checkpoints the round (r7). This simple form keeps the
+    DuckDB recursive-CTE oracle exact.
 
     ``algorithm="star"``: large-star/small-star contraction —
     O(log n) rounds regardless of diameter, the planet-scale path
@@ -535,27 +536,41 @@ def connected_components(
         "label", F.col("node")
     )
     for _ in range(max_iters):
+        # ONE job per round (r7; was two): the union carries an
+        # _orig flag so the round's aggregate can recover each node's
+        # previous label (max over the single flagged row) next to
+        # the new min — and the convergence probe rides the
+        # checkpoint job as an observe() metric instead of a second
+        # join+count job. Labels only ever decrease, so
+        # "any label < _old" is exactly the old new!=old probe.
         msgs = (
             edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), "label")
+            .select(
+                F.col("src").alias("node"),
+                "label",
+                F.lit(False).alias("_orig"),
+            )
         )
         new_labels = (
-            labels.select("node", "label")
+            labels.select("node", "label", F.lit(True).alias("_orig"))
             .unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("_orig"), F.col("label"))).alias("_old"),
+            )
         )
-        # checkpoint FIRST (cut the growing lineage, materialize the
-        # round once), then the convergence probe reads two
-        # checkpointed frames instead of recomputing the round
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs,
+            F.sum(
+                F.when(F.col("label") < F.col("_old"), 1).otherwise(0)
+            ).alias("changed"),
+        ).select("node", "label")
+        # checkpoint materializes the round (cutting the growing
+        # lineage) AND completes the observation in the same job
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = obs.get["changed"] or 0
         labels = new_labels
         if changed == 0:
             break
