@@ -146,29 +146,43 @@ def reconstruct(
     off by default: serializing every feature twice is pure overhead
     when the consumer is columnar (tiles, parquet sinks).
 
-    The input is round-robin repartitioned before the kernel: the
-    upstream agg output is small, so AQE coalesces it to few
-    partitions — fine for the agg, but it would serialize THIS
-    stage's expensive per-row Python. A cheap shuffle of the nested
-    rows buys full-kernel parallelism and evens out skew-heavy
-    features (one 80-version way costs ~40× a 1-version node).
+    Kernel parallelism (late r7): when the input's partitioning is
+    already shuffle-derived (the usual case — add_node_locations ends
+    in a join, so AQE's parallelismFirst leaves it
+    ~defaultParallelism wide), the kernel consumes it DIRECTLY — no
+    round-robin repartition, i.e. one fewer Exchange of the fat
+    nested rows (history arrays + node-location maps; guide §2.4
+    "remove shuffles outright", §8 "don't re-shuffle heavy payloads
+    to decide placement"). Measured at sf0.1/local[32], interleaved
+    A/B ×5: e2e 2.37 → 2.03 s min, every pass faster, kernel width
+    unchanged (32 partitions, 7.0-8.8k rows each via the (et,id)
+    hash). At 100 TB the removed shuffle is a full pass over the
+    payload. Per-row cost outliers (one 80-version way ≈ 40× a
+    1-version node) spread by key-hash about as well as round-robin
+    at real row counts.
 
-    Default width = defaultParallelism, ONE wave (r7; was 3×):
-    round-robin distributes rows evenly, so per-row cost outliers
-    spread across partitions by construction and the extra waves only
-    amortized scheduling jitter — while every additional task pays
-    the Arrow serialize + Python worker round-trip. Measured at
-    sf0.1/local[32]: 3× waves 6.07 s vs 1 wave 4.75 s for the e2e;
-    scaling efficiency re-validated ≥0.9 after the change. Pass
-    ``target_partitions`` explicitly to restore wave-insurance on
-    clusters with flaky nodes/speculation.
+    For scan-adjacent inputs (e.g. the staged pipeline reading a
+    small stage table, where the scan may resolve to few partitions)
+    the round-robin repartition to ``defaultParallelism`` is kept —
+    ONE wave (r7; was 3×: measured 6.07 → 4.75 s on the e2e). Pass
+    ``target_partitions`` explicitly to force a width (wave-insurance
+    on clusters with flaky nodes/speculation).
     """
+    sel_cols = ["element_type", "id", "geometry", "history", "node_locations"]
     if target_partitions is None:
-        sc = with_locations.sparkSession.sparkContext
-        target_partitions = max(sc.defaultParallelism, 8)
-    prepared = with_locations.repartition(target_partitions).select(
-        "element_type", "id", "geometry", "history", "node_locations"
-    )
+        from ..plans.parallel import inherits_wide_partitioning
+
+        if inherits_wide_partitioning(with_locations):
+            prepared = with_locations.select(*sel_cols)
+        else:
+            sc = with_locations.sparkSession.sparkContext
+            prepared = with_locations.repartition(
+                max(sc.defaultParallelism, 8)
+            ).select(*sel_cols)
+    else:
+        prepared = with_locations.repartition(target_partitions).select(
+            *sel_cols
+        )
 
     extra_fields = []
     if with_feature_json:
@@ -286,17 +300,30 @@ def reconstruct_objects(
     """
     if mode not in ("complete", "topojson"):
         raise ValueError(f"unknown mode: {mode!r}")
-    if target_partitions is None:
-        sc = with_locations.sparkSession.sparkContext
-        target_partitions = max(sc.defaultParallelism * 2, 8)
     feat_cols = [
         c for c in ("version", "changeset", "ts", "uid", "user", "tags")
         if c in with_locations.columns
     ]
-    prepared = with_locations.repartition(target_partitions).select(
+    sel_cols = [
         "element_type", "id", "geometry", "history", "node_locations",
         *feat_cols,
-    )
+    ]
+    if target_partitions is None:
+        from ..plans.parallel import inherits_wide_partitioning
+
+        # same policy as reconstruct(): inherit shuffle-derived width,
+        # repartition only scan-adjacent inputs
+        if inherits_wide_partitioning(with_locations):
+            prepared = with_locations.select(*sel_cols)
+        else:
+            sc = with_locations.sparkSession.sparkContext
+            prepared = with_locations.repartition(
+                max(sc.defaultParallelism * 2, 8)
+            ).select(*sel_cols)
+    else:
+        prepared = with_locations.repartition(target_partitions).select(
+            *sel_cols
+        )
 
     from ..sources.sinks import to_topojson_history
 

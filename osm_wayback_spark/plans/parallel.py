@@ -56,6 +56,46 @@ _BARRIER_NODES = (
 
 _DEFAULT_MIN_BYTES = 192 * 1024
 
+# logical-plan node names whose output partitioning is shuffle-derived
+# (hash/range over the configured shuffle-partition count, AQE-coalesced
+# with parallelismFirst): a downstream per-row kernel can consume them
+# directly instead of paying its own round-robin Exchange.
+_WIDE_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Repartition",  # also matches RepartitionByExpression / ByRange
+    "Rebalance",
+    "Deduplicate",
+    "Sort",
+)
+
+
+def inherits_wide_partitioning(df: DataFrame) -> bool:
+    """True when ``df``'s partitioning already comes from a shuffle
+    (join/aggregate/window/repartition/sort...), so a kernel that only
+    needs even row spread can skip its own repartition — removing a
+    full Exchange of the rows (guide §2.4), which for fat nested
+    payloads is the dominant cost at scale.
+
+    A ``GlobalLimit``/``LocalLimit``-to-single-partition ABOVE every
+    wide node collapses the width again (``df.limit(n)`` plans a
+    single-partition exchange), so a limit that appears before (above)
+    the first wide node in the top-down logical plan string defeats
+    the inheritance and the caller should keep its repartition.
+    """
+    try:
+        plan = df._jdf.queryExecution().logical().toString()
+    except Exception:  # pragma: no cover - planning quirks
+        return False
+    wide = [i for i in (plan.find(n) for n in _WIDE_NODES) if i != -1]
+    if not wide:
+        return False
+    lim = plan.find("GlobalLimit")
+    if lim != -1 and lim < min(wide):
+        return False
+    return True
+
 
 def probe_scan_partitions(df: DataFrame) -> int | None:
     """Partition count of a scan-adjacent frame, or None when the
