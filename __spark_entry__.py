@@ -1532,7 +1532,9 @@ def q_pages_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ve = _oracle_versions(spark, sf_dir)
     versions = ve.drop("geometry_json", "tags_kv", "has_geom")
     hist = add_history(features_from_versions(ve), versions)
-    wl = add_node_locations(hist, node_locations_from_versions(versions))
+    wl = add_node_locations(
+        hist, node_locations_from_versions(versions), refs_source=versions
+    )
     inner_sizes = F.transform(
         F.map_values("node_locations"), lambda by_cs: F.size(by_cs)
     )
@@ -1707,7 +1709,8 @@ def q_pages_topojson(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_reconstruct_expected(sf_dir)
     t = pipeline.build_tables(_pages(spark, sf_dir))
     geom = add_node_locations(
-        add_history(t["features"], t["versions"]), t["node_locations"]
+        add_history(t["features"], t["versions"]), t["node_locations"],
+        refs_source=t["versions"],
     )
     out = reconstruct_objects(geom, mode="topojson")
     return out.select(

@@ -68,7 +68,12 @@ def geometry_pipeline(pages: DataFrame) -> DataFrame:
     """pages → features with @history + nodeLocations (≙ .history.geometries)."""
     t = build_tables(pages)
     hist = add_history(t["features"], t["versions"])
-    return add_node_locations(hist, t["node_locations"])
+    # refs_source: derive the referenced-node set straight from the
+    # versions table — equivalent output, and the optimizer no longer
+    # materializes the history-assembly subtree twice (locations.py)
+    return add_node_locations(
+        hist, t["node_locations"], refs_source=t["versions"]
+    )
 
 
 def reconstruction_pipeline(
@@ -122,6 +127,7 @@ def staged_pipeline(
         lambda: add_node_locations(
             add_history(features_from_versions(versions_ext), versions),
             node_locations_from_versions(versions),
+            refs_source=versions,
         ),
     )
     recon = run_stage(
